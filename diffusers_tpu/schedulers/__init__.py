@@ -1,0 +1,14 @@
+from .scheduling_ddim import DDIMScheduler, DDIMSchedulerOutput, DDIMSchedulerState
+from .scheduling_ddpm import DDPMScheduler, DDPMSchedulerOutput, DDPMSchedulerState
+from .scheduling_euler_discrete import (
+    EulerDiscreteScheduler,
+    EulerDiscreteSchedulerOutput,
+    EulerDiscreteSchedulerState,
+)
+from .scheduling_flow_match_euler_discrete import (
+    FlowMatchEulerDiscreteScheduler,
+    FlowMatchEulerDiscreteSchedulerOutput,
+    FlowMatchEulerDiscreteSchedulerState,
+    calculate_shift,
+)
+from .scheduling_utils import KarrasDiffusionSchedulers, SchedulerMixin, SchedulerOutput
