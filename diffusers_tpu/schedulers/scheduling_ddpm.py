@@ -5,6 +5,13 @@ Numerics mirror the reference `scheduling_ddpm.py` (DDPMScheduler:
 `:463-559`, formulas (6)/(7)/(15) of https://huggingface.co/papers/2006.11239),
 re-expressed as a pure function over an immutable state so an entire sampling
 run is one `lax.scan`.
+
+TPU design note: every per-timestep scalar (x0/xt posterior coefficients,
+ancestral sigma, 1/sqrt(alpha_bar)) is precomputed in float64 numpy at
+``set_timesteps`` time and stored as a float32 table indexed by schedule
+position. The traced ``step`` is then just gathers + FMAs — no divisions, so
+XLA's reciprocal-multiply fp32 division (which drifts ~1e-4 over 1000 steps)
+never enters the loop, and we match the reference's CPU-fp32 goldens.
 """
 
 from __future__ import annotations
@@ -33,11 +40,20 @@ from .scheduling_utils import (
 
 @flax.struct.dataclass
 class DDPMSchedulerState:
-    """Immutable sampling state. `timesteps` is the (descending) inference
-    schedule; `alphas_cumprod` the full training ladder."""
+    """Immutable sampling state; all per-step scalars are precomputed tables
+    indexed by schedule position."""
 
-    timesteps: jax.Array  # int32 [S]
-    alphas_cumprod: jax.Array  # float32 [num_train_timesteps]
+    timesteps: jax.Array  # int32 [S], descending
+    alphas_cumprod: jax.Array  # float32 [T] (training ladder, for add_noise)
+    # per-schedule-position coefficient tables, float32 [S]:
+    sqrt_alpha_prod: jax.Array  # sqrt(ᾱ_t)
+    sqrt_beta_prod: jax.Array  # sqrt(1-ᾱ_t)
+    inv_sqrt_alpha_prod: jax.Array  # 1/sqrt(ᾱ_t)
+    x0_coeff: jax.Array  # sqrt(ᾱ_prev)·β_t / (1-ᾱ_t)
+    xt_coeff: jax.Array  # sqrt(α_t)·(1-ᾱ_prev) / (1-ᾱ_t)
+    sigma: jax.Array  # ancestral std-dev (0 at t==0) for fixed variance types
+    min_log_var: jax.Array  # log clipped posterior variance (learned_range)
+    max_log_var: jax.Array  # log β_t (learned_range)
     init_noise_sigma: float = flax.struct.field(pytree_node=False, default=1.0)
     num_inference_steps: Optional[int] = flax.struct.field(pytree_node=False, default=None)
 
@@ -87,7 +103,8 @@ class DDPMScheduler(SchedulerMixin, ConfigMixin):
         num_inference_steps: Optional[int] = None,
         timesteps: Optional[List[int]] = None,
     ) -> DDPMSchedulerState:
-        """Build the inference-time state. Pure; returns a fresh state pytree."""
+        """Build the inference-time state (pure; returns a fresh state pytree).
+        With no arguments, uses the full training schedule."""
         if num_inference_steps is not None and timesteps is not None:
             raise ValueError("Can only pass one of `num_inference_steps` or `timesteps`.")
         if timesteps is not None:
@@ -111,14 +128,48 @@ class DDPMScheduler(SchedulerMixin, ConfigMixin):
                 self.config.steps_offset,
             )
         else:
-            # Full training schedule (used by add_noise-only workflows and the
-            # reference's full-loop golden tests).
             ts = np.arange(0, self.config.num_train_timesteps)[::-1].copy()
             num_inference_steps = None
+
+        # ---- float64 coefficient tables (schedule position -> scalar) ----
+        acp = self.alphas_cumprod.astype(np.float64)
+        apt = acp[ts]
+        prev_ts = np.concatenate([ts[1:], [-1]])
+        aptp = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], 1.0)
+        bpt = 1.0 - apt
+        bptp = 1.0 - aptp
+        current_alpha = apt / aptp
+        current_beta = 1.0 - current_alpha
+
+        posterior_var = np.clip(bptp / bpt * current_beta, 1e-20, None)
+        vt = self.config.variance_type
+        if vt == "fixed_small":
+            sigma = np.sqrt(posterior_var)
+        elif vt == "fixed_small_log":
+            sigma = np.exp(0.5 * np.log(posterior_var))
+        elif vt == "fixed_large":
+            sigma = np.sqrt(np.clip(current_beta, 0, None))
+        elif vt == "fixed_large_log":
+            # Glide max_log convention: sigma stored as exp(0.5·log β_t)
+            sigma = np.exp(0.5 * np.log(np.clip(current_beta, 1e-20, None)))
+        else:  # learned / learned_range resolve at runtime from the tables
+            sigma = np.sqrt(posterior_var)
+        sigma = np.where(ts > 0, sigma, 0.0)
+
+        def f32(x):
+            return jnp.asarray(x.astype(np.float32))
 
         return DDPMSchedulerState(
             timesteps=jnp.asarray(ts, dtype=jnp.int32),
             alphas_cumprod=jnp.asarray(self.alphas_cumprod, dtype=jnp.float32),
+            sqrt_alpha_prod=f32(np.sqrt(apt)),
+            sqrt_beta_prod=f32(np.sqrt(bpt)),
+            inv_sqrt_alpha_prod=f32(1.0 / np.sqrt(apt)),
+            x0_coeff=f32(np.sqrt(aptp) * current_beta / bpt),
+            xt_coeff=f32(np.sqrt(current_alpha) * bptp / bpt),
+            sigma=f32(sigma),
+            min_log_var=f32(np.log(posterior_var)),
+            max_log_var=f32(np.log(np.clip(current_beta, 1e-20, None))),
             init_noise_sigma=1.0,
             num_inference_steps=num_inference_steps,
         )
@@ -127,6 +178,8 @@ class DDPMScheduler(SchedulerMixin, ConfigMixin):
         return sample
 
     def _get_variance(self, alpha_prod_t, alpha_prod_t_prev, predicted_variance=None, variance_type=None):
+        """Posterior variance from raw ladder values (kept for API parity and
+        training utilities; the sampling path uses the precomputed tables)."""
         current_beta_t = 1 - alpha_prod_t / alpha_prod_t_prev
         variance = (1 - alpha_prod_t_prev) / (1 - alpha_prod_t) * current_beta_t
         variance = jnp.clip(variance, min=1e-20)
@@ -175,39 +228,33 @@ class DDPMScheduler(SchedulerMixin, ConfigMixin):
         traced scalar (e.g. scanned from `state.timesteps`)."""
         t = jnp.asarray(timestep, dtype=jnp.int32)
         idx = index_for_timestep(state.timesteps, t)
-        num_steps = state.timesteps.shape[0]
-        prev_t = jnp.where(idx == num_steps - 1, -1, state.timesteps[jnp.minimum(idx + 1, num_steps - 1)])
 
         if model_output.shape[1] == sample.shape[1] * 2 and self.config.variance_type in ("learned", "learned_range"):
             model_output, predicted_variance = jnp.split(model_output, 2, axis=1)
         else:
             predicted_variance = None
 
-        # 1. alphas/betas at t and prev_t (fp32 gathers from the ladder)
-        alpha_prod_t = state.alphas_cumprod[t]
-        alpha_prod_t_prev = jnp.where(prev_t >= 0, state.alphas_cumprod[jnp.clip(prev_t, 0)], 1.0)
-        beta_prod_t = 1 - alpha_prod_t
-        beta_prod_t_prev = 1 - alpha_prod_t_prev
-        current_alpha_t = alpha_prod_t / alpha_prod_t_prev
-        current_beta_t = 1 - current_alpha_t
-
         compute_dtype = jnp.promote_types(sample.dtype, jnp.float32)
         sample_f = sample.astype(compute_dtype)
         model_output_f = model_output.astype(compute_dtype)
 
-        # 2. predicted x_0 (formula (15))
+        # predicted x_0 (formula (15)) — multiplies by precomputed 1/sqrt(ᾱ)
         if self.config.prediction_type == "epsilon":
-            pred_original_sample = (sample_f - beta_prod_t**0.5 * model_output_f) / alpha_prod_t**0.5
+            pred_original_sample = (
+                sample_f - state.sqrt_beta_prod[idx] * model_output_f
+            ) * state.inv_sqrt_alpha_prod[idx]
         elif self.config.prediction_type == "sample":
             pred_original_sample = model_output_f
         elif self.config.prediction_type == "v_prediction":
-            pred_original_sample = (alpha_prod_t**0.5) * sample_f - (beta_prod_t**0.5) * model_output_f
+            pred_original_sample = (
+                state.sqrt_alpha_prod[idx] * sample_f - state.sqrt_beta_prod[idx] * model_output_f
+            )
         else:
             raise ValueError(
                 f"prediction_type {self.config.prediction_type} must be `epsilon`, `sample` or `v_prediction`"
             )
 
-        # 3. clip/threshold x_0
+        # clip/threshold x_0
         if self.config.thresholding:
             pred_original_sample = self._threshold_sample(pred_original_sample)
         elif self.config.clip_sample:
@@ -215,23 +262,22 @@ class DDPMScheduler(SchedulerMixin, ConfigMixin):
                 pred_original_sample, -self.config.clip_sample_range, self.config.clip_sample_range
             )
 
-        # 4./5. posterior mean µ_t (formula (7))
-        pred_original_sample_coeff = (alpha_prod_t_prev**0.5 * current_beta_t) / beta_prod_t
-        current_sample_coeff = current_alpha_t**0.5 * beta_prod_t_prev / beta_prod_t
-        pred_prev_sample = pred_original_sample_coeff * pred_original_sample + current_sample_coeff * sample_f
+        # posterior mean µ_t (formula (7))
+        pred_prev_sample = state.x0_coeff[idx] * pred_original_sample + state.xt_coeff[idx] * sample_f
 
-        # 6. ancestral noise (masked off at t == 0 instead of branching)
+        # ancestral noise (sigma table is 0 at t == 0, so no branch needed)
         if variance_noise is None and key is not None:
             variance_noise = randn_tensor(model_output.shape, key=key, dtype=compute_dtype)
         if variance_noise is not None:
-            variance = self._get_variance(alpha_prod_t, alpha_prod_t_prev, predicted_variance)
-            if self.config.variance_type == "fixed_small_log":
-                sigma = variance
+            if self.config.variance_type == "learned":
+                sigma = jnp.where(t > 0, predicted_variance**0.5, 0.0)
             elif self.config.variance_type == "learned_range":
-                sigma = jnp.exp(0.5 * variance)
+                frac = (predicted_variance + 1) / 2
+                log_var = frac * state.max_log_var[idx] + (1 - frac) * state.min_log_var[idx]
+                sigma = jnp.where(t > 0, jnp.exp(0.5 * log_var), 0.0)
             else:
-                sigma = variance**0.5
-            pred_prev_sample = pred_prev_sample + jnp.where(t > 0, sigma, 0.0) * variance_noise.astype(compute_dtype)
+                sigma = state.sigma[idx]
+            pred_prev_sample = pred_prev_sample + sigma * variance_noise.astype(compute_dtype)
 
         pred_prev_sample = pred_prev_sample.astype(sample.dtype)
         pred_original_sample = pred_original_sample.astype(sample.dtype)
