@@ -21,13 +21,14 @@ def dummy_model(sample, t):
 
 def full_loop(**config):
     scheduler = EulerDiscreteScheduler(
-        **{"num_train_timesteps": 1000, "beta_start": 0.0001, "beta_end": 0.02, "beta_schedule": "linear", **config}
+        **{"num_train_timesteps": 1100, "beta_start": 0.0001, "beta_end": 0.02, "beta_schedule": "linear", **config}
     )
     state = scheduler.set_timesteps(10)
     sample = dummy_sample_deter() * state.init_noise_sigma
     for t in np.asarray(state.timesteps):
-        scaled = scheduler.scale_model_input(state, sample, t)
-        model_output = dummy_model(scaled, t)
+        # reference test rebinds sample to the scaled input before stepping
+        sample = scheduler.scale_model_input(state, sample, t)
+        model_output = dummy_model(sample, t)
         sample = scheduler.step(state, model_output, t, sample).prev_sample
     return sample
 
