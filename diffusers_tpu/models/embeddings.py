@@ -1,0 +1,160 @@
+"""Timestep / positional / patch embeddings.
+
+Behavioral mirror of the reference `models/embeddings.py` (get_timestep_embedding
+`:27`, Timesteps/TimestepEmbedding `:1300-1395`, patch + RoPE embeddings), in
+functional JAX form. The sinusoidal table math runs in float32 regardless of
+param dtype, matching torch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.module import Embedding, Linear, Module, Params, get_activation
+
+
+def get_timestep_embedding(
+    timesteps: jax.Array,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = False,
+    downscale_freq_shift: float = 1.0,
+    scale: float = 1.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """DDPM sinusoidal timestep embedding; `timesteps` is 1-D [N]."""
+    assert timesteps.ndim == 1, "timesteps should be a 1d-array"
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps[:, None].astype(jnp.float32) * emb[None, :]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class Timesteps(Module):
+    def __init__(self, num_channels: int, flip_sin_to_cos: bool, downscale_freq_shift: float, scale: int = 1):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+        self.scale = scale
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        return {}
+
+    def __call__(self, params: Params, timesteps: jax.Array) -> jax.Array:
+        return get_timestep_embedding(
+            timesteps,
+            self.num_channels,
+            flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.downscale_freq_shift,
+            scale=self.scale,
+        )
+
+
+class TimestepEmbedding(Module):
+    """2-layer MLP over the sinusoidal embedding (reference embeddings.py:1300)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        time_embed_dim: int,
+        act_fn: str = "silu",
+        out_dim: Optional[int] = None,
+        post_act_fn: Optional[str] = None,
+        cond_proj_dim: Optional[int] = None,
+        sample_proj_bias: bool = True,
+    ):
+        super().__init__()
+        self.linear_1 = Linear(in_channels, time_embed_dim, use_bias=sample_proj_bias)
+        self.cond_proj = Linear(cond_proj_dim, in_channels, use_bias=False) if cond_proj_dim is not None else None
+        self.act = get_activation(act_fn)
+        self.linear_2 = Linear(time_embed_dim, out_dim or time_embed_dim, use_bias=sample_proj_bias)
+        self.post_act = get_activation(post_act_fn) if post_act_fn is not None else None
+
+    def __call__(self, params: Params, sample: jax.Array, condition: Optional[jax.Array] = None) -> jax.Array:
+        if condition is not None:
+            sample = sample + self.cond_proj(params["cond_proj"], condition)
+        sample = self.linear_1(params["linear_1"], sample)
+        sample = self.act(sample)
+        sample = self.linear_2(params["linear_2"], sample)
+        if self.post_act is not None:
+            sample = self.post_act(sample)
+        return sample
+
+
+class GaussianFourierProjection(Module):
+    """Gaussian Fourier embeddings for continuous noise levels."""
+
+    def __init__(self, embedding_size: int = 256, scale: float = 1.0, log: bool = True, flip_sin_to_cos: bool = False):
+        super().__init__()
+        self.embedding_size = embedding_size
+        self.scale = scale
+        self.log = log
+        self.flip_sin_to_cos = flip_sin_to_cos
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        return {"weight": jax.random.normal(key, (self.embedding_size,), jnp.float32) * self.scale}
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        if self.log:
+            x = jnp.log(x)
+        x_proj = x[:, None].astype(jnp.float32) * params["weight"][None, :] * 2 * jnp.pi
+        if self.flip_sin_to_cos:
+            return jnp.concatenate([jnp.cos(x_proj), jnp.sin(x_proj)], axis=-1)
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class LabelEmbedding(Embedding):
+    pass
+
+
+def get_2d_sincos_pos_embed(
+    embed_dim: int, grid_size: Tuple[int, int], base_size: int = 16, interpolation_scale: float = 1.0
+) -> np.ndarray:
+    """Fixed 2D sin-cos position table (reference embeddings.py get_2d_sincos_pos_embed)."""
+    gh, gw = grid_size if isinstance(grid_size, tuple) else (grid_size, grid_size)
+    grid_h = np.arange(gh, dtype=np.float32) / (gh / base_size) / interpolation_scale
+    grid_w = np.arange(gw, dtype=np.float32) / (gw / base_size) / interpolation_scale
+    grid = np.meshgrid(grid_w, grid_h)
+    grid = np.stack(grid, axis=0).reshape([2, 1, gw, gh])
+
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = _1d(embed_dim // 2, grid[0])
+    emb_w = _1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+def apply_rotary_emb(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array) -> jax.Array:
+    """Rotate pairs (interleaved convention, reference embeddings.py
+    apply_rotary_emb with use_real_unbind_dim=-1). x: [..., S, H, D] or
+    [..., S, D]; freqs: [S, D]."""
+    x_f = x.astype(jnp.float32)
+    x_r = x_f.reshape(*x.shape[:-1], -1, 2)
+    x1, x2 = x_r[..., 0], x_r[..., 1]
+    x_rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    if x.ndim == 4 and freqs_cos.ndim == 2:  # x: [B,S,H,D], freqs: [S,D]
+        freqs_cos = freqs_cos[None, :, None, :]
+        freqs_sin = freqs_sin[None, :, None, :]
+    else:
+        while freqs_cos.ndim < x.ndim:
+            freqs_cos = freqs_cos[None]
+            freqs_sin = freqs_sin[None]
+    out = x_f * freqs_cos + x_rot * freqs_sin
+    return out.astype(x.dtype)

@@ -1,0 +1,158 @@
+"""ResNet blocks and up/down sampling for UNet/VAE backbones.
+
+Behavioral mirror of the reference `models/resnet.py` (ResnetBlock2D `:159`,
+Upsample2D/Downsample2D in `models/upsampling.py`/`downsampling.py`), on NHWC
+activations. Param subtree names (norm1/conv1/time_emb_proj/norm2/conv2/
+conv_shortcut, downsamplers.0.conv, upsamplers.0.conv) match reference
+state-dict keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.module import Conv2d, GroupNorm, Linear, Module, Params, get_activation
+
+
+class Upsample2D(Module):
+    """Nearest-neighbor 2x upsample + optional conv (reference upsampling.py:50)."""
+
+    def __init__(self, channels: int, use_conv: bool = False, out_channels: Optional[int] = None):
+        super().__init__()
+        self.channels = channels
+        self.out_channels = out_channels or channels
+        self.use_conv = use_conv
+        if use_conv:
+            self.conv = Conv2d(self.channels, self.out_channels, kernel_size=3, padding=1)
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        # nearest-neighbor x2 (torch F.interpolate mode="nearest")
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = self.conv(params["conv"], x)
+        return x
+
+
+class Downsample2D(Module):
+    """Stride-2 conv (or avg-pool) downsample (reference downsampling.py:49)."""
+
+    def __init__(self, channels: int, use_conv: bool = False, out_channels: Optional[int] = None, padding: int = 1):
+        super().__init__()
+        self.channels = channels
+        self.out_channels = out_channels or channels
+        self.use_conv = use_conv
+        self.padding = padding
+        if use_conv:
+            self.conv = Conv2d(self.channels, self.out_channels, kernel_size=3, stride=2, padding=padding)
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            if self.padding == 0:
+                # asymmetric (0,1) pad, matching torch F.pad((0,1,0,1))
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return self.conv(params["conv"], x)
+        # avg-pool stride 2
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) / 4.0
+
+
+class ResnetBlock2D(Module):
+    """norm→act→conv ×2 with timestep conditioning (reference resnet.py:159)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: Optional[int] = None,
+        temb_channels: Optional[int] = 512,
+        groups: int = 32,
+        groups_out: Optional[int] = None,
+        eps: float = 1e-6,
+        non_linearity: str = "swish",
+        time_embedding_norm: str = "default",
+        output_scale_factor: float = 1.0,
+        use_in_shortcut: Optional[bool] = None,
+        conv_shortcut_bias: bool = True,
+        skip_time_act: bool = False,
+        up: bool = False,
+        down: bool = False,
+        conv_2d_out_channels: Optional[int] = None,
+    ):
+        super().__init__()
+        self.in_channels = in_channels
+        out_channels = in_channels if out_channels is None else out_channels
+        self.out_channels = out_channels
+        self.time_embedding_norm = time_embedding_norm
+        self.output_scale_factor = output_scale_factor
+        self.skip_time_act = skip_time_act
+        self.up = up
+        self.down = down
+        groups_out = groups_out or groups
+
+        self.norm1 = GroupNorm(num_groups=groups, num_channels=in_channels, eps=eps)
+        self.conv1 = Conv2d(in_channels, out_channels, kernel_size=3, stride=1, padding=1)
+
+        if temb_channels is not None:
+            if time_embedding_norm == "default":
+                self.time_emb_proj = Linear(temb_channels, out_channels)
+            elif time_embedding_norm == "scale_shift":
+                self.time_emb_proj = Linear(temb_channels, 2 * out_channels)
+            else:
+                raise ValueError(f"unknown time_embedding_norm: {time_embedding_norm}")
+        else:
+            self.time_emb_proj = None
+
+        self.norm2 = GroupNorm(num_groups=groups_out, num_channels=out_channels, eps=eps)
+        conv_2d_out_channels = conv_2d_out_channels or out_channels
+        self.conv2 = Conv2d(out_channels, conv_2d_out_channels, kernel_size=3, stride=1, padding=1)
+        self.nonlinearity = get_activation(non_linearity)
+
+        if up:
+            self.upsample = Upsample2D(in_channels, use_conv=False)
+        elif down:
+            self.downsample = Downsample2D(in_channels, use_conv=False, padding=1)
+
+        self.use_in_shortcut = (in_channels != conv_2d_out_channels) if use_in_shortcut is None else use_in_shortcut
+        if self.use_in_shortcut:
+            self.conv_shortcut = Conv2d(
+                in_channels, conv_2d_out_channels, kernel_size=1, stride=1, padding=0, use_bias=conv_shortcut_bias
+            )
+
+    def __call__(self, params: Params, input_tensor: jax.Array, temb: Optional[jax.Array]) -> jax.Array:
+        hidden_states = self.norm1(params["norm1"], input_tensor)
+        hidden_states = self.nonlinearity(hidden_states)
+
+        if self.up:
+            input_tensor = self.upsample({}, input_tensor)
+            hidden_states = self.upsample({}, hidden_states)
+        elif self.down:
+            input_tensor = self.downsample({}, input_tensor)
+            hidden_states = self.downsample({}, hidden_states)
+
+        hidden_states = self.conv1(params["conv1"], hidden_states)
+
+        if self.time_emb_proj is not None and temb is not None:
+            if not self.skip_time_act:
+                temb = self.nonlinearity(temb)
+            temb = self.time_emb_proj(params["time_emb_proj"], temb)[:, None, None, :]  # NHWC broadcast
+
+        if self.time_embedding_norm == "default":
+            if self.time_emb_proj is not None and temb is not None:
+                hidden_states = hidden_states + temb
+            hidden_states = self.norm2(params["norm2"], hidden_states)
+        elif self.time_embedding_norm == "scale_shift":
+            scale, shift = jnp.split(temb, 2, axis=-1)
+            hidden_states = self.norm2(params["norm2"], hidden_states)
+            hidden_states = hidden_states * (1 + scale) + shift
+
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.conv2(params["conv2"], hidden_states)
+
+        if self.use_in_shortcut:
+            input_tensor = self.conv_shortcut(params["conv_shortcut"], input_tensor)
+
+        return (input_tensor + hidden_states) / self.output_scale_factor

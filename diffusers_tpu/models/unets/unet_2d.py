@@ -1,0 +1,236 @@
+"""UNet2DModel — unconditional/class-conditional 2D UNet.
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/models/unets/unet_2d.py:39` UNet2DModel,
+forward `:243-337`), TPU-native: NHWC internals (public API stays NCHW for
+reference parity), pure function of (params, sample, timestep).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ...configuration_utils import ConfigMixin, register_to_config
+from ...utils import BaseOutput
+from ...ops.module import Conv2d, Embedding, GroupNorm, Identity, Module, ModuleList, Params, get_activation
+from ..embeddings import GaussianFourierProjection, TimestepEmbedding, Timesteps
+from ..modeling_utils import ModelMixin
+from .unet_2d_blocks import UNetMidBlock2D, get_down_block, get_up_block
+
+
+@dataclass
+class UNet2DOutput(BaseOutput):
+    sample: jax.Array
+
+
+class UNet2DModel(Module, ModelMixin, ConfigMixin):
+    @register_to_config
+    def __init__(
+        self,
+        sample_size: Optional[Union[int, Tuple[int, int]]] = None,
+        in_channels: int = 3,
+        out_channels: int = 3,
+        center_input_sample: bool = False,
+        time_embedding_type: str = "positional",
+        time_embedding_dim: Optional[int] = None,
+        freq_shift: int = 0,
+        flip_sin_to_cos: bool = True,
+        down_block_types: Tuple[str, ...] = ("DownBlock2D", "AttnDownBlock2D", "AttnDownBlock2D", "AttnDownBlock2D"),
+        mid_block_type: Optional[str] = "UNetMidBlock2D",
+        up_block_types: Tuple[str, ...] = ("AttnUpBlock2D", "AttnUpBlock2D", "AttnUpBlock2D", "UpBlock2D"),
+        block_out_channels: Tuple[int, ...] = (224, 448, 672, 896),
+        layers_per_block: int = 2,
+        mid_block_scale_factor: float = 1,
+        downsample_padding: int = 1,
+        downsample_type: str = "conv",
+        upsample_type: str = "conv",
+        dropout: float = 0.0,
+        act_fn: str = "silu",
+        attention_head_dim: Optional[int] = 8,
+        norm_num_groups: int = 32,
+        attn_norm_num_groups: Optional[int] = None,
+        norm_eps: float = 1e-5,
+        resnet_time_scale_shift: str = "default",
+        add_attention: bool = True,
+        class_embed_type: Optional[str] = None,
+        num_class_embeds: Optional[int] = None,
+        num_train_timesteps: Optional[int] = None,
+    ):
+        super().__init__()
+        if len(down_block_types) != len(up_block_types):
+            raise ValueError("down_block_types and up_block_types must have the same length")
+        if len(block_out_channels) != len(down_block_types):
+            raise ValueError("block_out_channels and down_block_types must have the same length")
+
+        time_embed_dim = time_embedding_dim or block_out_channels[0] * 4
+
+        self.conv_in = Conv2d(in_channels, block_out_channels[0], kernel_size=3, padding=1)
+
+        if time_embedding_type == "fourier":
+            self.time_proj = GaussianFourierProjection(embedding_size=block_out_channels[0], scale=16)
+            timestep_input_dim = 2 * block_out_channels[0]
+        elif time_embedding_type == "positional":
+            self.time_proj = Timesteps(block_out_channels[0], flip_sin_to_cos, freq_shift)
+            timestep_input_dim = block_out_channels[0]
+        elif time_embedding_type == "learned":
+            self.time_proj = Embedding(num_train_timesteps, block_out_channels[0])
+            timestep_input_dim = block_out_channels[0]
+        else:
+            raise ValueError(f"unknown time_embedding_type {time_embedding_type}")
+
+        self.time_embedding = TimestepEmbedding(timestep_input_dim, time_embed_dim)
+
+        if class_embed_type is None and num_class_embeds is not None:
+            self.class_embedding = Embedding(num_class_embeds, time_embed_dim)
+        elif class_embed_type == "timestep":
+            self.class_embedding = TimestepEmbedding(timestep_input_dim, time_embed_dim)
+        elif class_embed_type == "identity":
+            self.class_embedding = Identity()
+        else:
+            self.class_embedding = None
+
+        # down
+        down_blocks = []
+        output_channel = block_out_channels[0]
+        for i, down_block_type in enumerate(down_block_types):
+            input_channel = output_channel
+            output_channel = block_out_channels[i]
+            is_final_block = i == len(block_out_channels) - 1
+            down_blocks.append(
+                get_down_block(
+                    down_block_type,
+                    num_layers=layers_per_block,
+                    in_channels=input_channel,
+                    out_channels=output_channel,
+                    temb_channels=time_embed_dim,
+                    add_downsample=not is_final_block,
+                    resnet_eps=norm_eps,
+                    resnet_act_fn=act_fn,
+                    resnet_groups=norm_num_groups,
+                    attention_head_dim=attention_head_dim if attention_head_dim is not None else output_channel,
+                    downsample_padding=downsample_padding,
+                    resnet_time_scale_shift=resnet_time_scale_shift,
+                    downsample_type=downsample_type,
+                )
+            )
+        self.down_blocks = ModuleList(down_blocks)
+
+        # mid
+        if mid_block_type is None:
+            self.mid_block = None
+        else:
+            self.mid_block = UNetMidBlock2D(
+                in_channels=block_out_channels[-1],
+                temb_channels=time_embed_dim,
+                resnet_eps=norm_eps,
+                resnet_act_fn=act_fn,
+                output_scale_factor=mid_block_scale_factor,
+                resnet_time_scale_shift=resnet_time_scale_shift,
+                attention_head_dim=attention_head_dim if attention_head_dim is not None else block_out_channels[-1],
+                resnet_groups=norm_num_groups,
+                attn_groups=attn_norm_num_groups,
+                add_attention=add_attention,
+            )
+
+        # up
+        up_blocks = []
+        reversed_block_out_channels = list(reversed(block_out_channels))
+        output_channel = reversed_block_out_channels[0]
+        for i, up_block_type in enumerate(up_block_types):
+            prev_output_channel = output_channel
+            output_channel = reversed_block_out_channels[i]
+            input_channel = reversed_block_out_channels[min(i + 1, len(block_out_channels) - 1)]
+            is_final_block = i == len(block_out_channels) - 1
+            up_blocks.append(
+                get_up_block(
+                    up_block_type,
+                    num_layers=layers_per_block + 1,
+                    in_channels=input_channel,
+                    out_channels=output_channel,
+                    prev_output_channel=prev_output_channel,
+                    temb_channels=time_embed_dim,
+                    add_upsample=not is_final_block,
+                    resnet_eps=norm_eps,
+                    resnet_act_fn=act_fn,
+                    resnet_groups=norm_num_groups,
+                    attention_head_dim=attention_head_dim if attention_head_dim is not None else output_channel,
+                    resnet_time_scale_shift=resnet_time_scale_shift,
+                    upsample_type=upsample_type,
+                )
+            )
+        self.up_blocks = ModuleList(up_blocks)
+
+        num_groups_out = norm_num_groups if norm_num_groups is not None else min(block_out_channels[0] // 4, 32)
+        self.conv_norm_out = GroupNorm(num_channels=block_out_channels[0], num_groups=num_groups_out, eps=norm_eps)
+        self.conv_act = get_activation("silu")
+        self.conv_out = Conv2d(block_out_channels[0], out_channels, kernel_size=3, padding=1)
+
+    def __call__(
+        self,
+        params: Params,
+        sample: jax.Array,
+        timestep: Union[jax.Array, float, int],
+        class_labels: Optional[jax.Array] = None,
+        return_dict: bool = True,
+    ) -> Union[UNet2DOutput, tuple]:
+        """`sample`: [B, C, H, W] (NCHW public convention)."""
+        if self.config.center_input_sample:
+            sample = 2 * sample - 1.0
+
+        # 1. time
+        timesteps = jnp.asarray(timestep)
+        if timesteps.ndim == 0:
+            timesteps = timesteps[None]
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        t_emb = self.time_proj(params.get("time_proj", {}), timesteps)
+        t_emb = t_emb.astype(sample.dtype)
+        emb = self.time_embedding(params["time_embedding"], t_emb)
+
+        if self.class_embedding is not None:
+            if class_labels is None:
+                raise ValueError("class_labels must be provided for class conditioning")
+            if self.config.class_embed_type == "timestep":
+                class_labels = self.time_proj(params.get("time_proj", {}), class_labels)
+            class_emb = self.class_embedding(params["class_embedding"], class_labels).astype(sample.dtype)
+            emb = emb + class_emb
+        elif class_labels is not None:
+            raise ValueError("class_embedding is not configured but class_labels were passed")
+
+        # 2. pre-process (NCHW -> NHWC once)
+        sample = jnp.transpose(sample, (0, 2, 3, 1))
+        sample = self.conv_in(params["conv_in"], sample)
+
+        # 3. down
+        down_block_res_samples = (sample,)
+        for i, downsample_block in enumerate(self.down_blocks):
+            sample, res_samples = downsample_block(params["down_blocks"][i], sample, temb=emb)
+            down_block_res_samples += res_samples
+
+        # 4. mid
+        if self.mid_block is not None:
+            sample = self.mid_block(params["mid_block"], sample, emb)
+
+        # 5. up
+        for i, upsample_block in enumerate(self.up_blocks):
+            n = len(upsample_block.resnets)
+            res_samples = down_block_res_samples[-n:]
+            down_block_res_samples = down_block_res_samples[:-n]
+            sample = upsample_block(params["up_blocks"][i], sample, res_samples, temb=emb)
+
+        # 6. post-process
+        sample = self.conv_norm_out(params["conv_norm_out"], sample)
+        sample = self.conv_act(sample)
+        sample = self.conv_out(params["conv_out"], sample)
+        sample = jnp.transpose(sample, (0, 3, 1, 2))  # back to NCHW
+
+        if self.config.time_embedding_type == "fourier":
+            timesteps = timesteps.reshape((sample.shape[0], 1, 1, 1))
+            sample = sample / timesteps
+
+        if not return_dict:
+            return (sample,)
+        return UNet2DOutput(sample=sample)

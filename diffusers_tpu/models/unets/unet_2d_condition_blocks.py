@@ -1,0 +1,267 @@
+"""Cross-attention UNet blocks (SD/SDXL).
+
+Behavioral mirror of the reference `models/unets/unet_2d_blocks.py`
+(CrossAttnDownBlock2D `:1395`, CrossAttnUpBlock2D `:2582`,
+UNetMidBlock2DCrossAttn `:751`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.module import Module, ModuleList, Params
+from ..resnet import Downsample2D, ResnetBlock2D, Upsample2D
+from ..transformers.transformer_2d import Transformer2DModel
+
+
+def _per_layer(value, num_layers):
+    if isinstance(value, (list, tuple)):
+        return list(value)
+    return [value] * num_layers
+
+
+class CrossAttnDownBlock2D(Module):
+    has_cross_attention = True
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        temb_channels: int,
+        num_layers: int = 1,
+        transformer_layers_per_block: Union[int, Tuple[int, ...]] = 1,
+        resnet_eps: float = 1e-6,
+        resnet_time_scale_shift: str = "default",
+        resnet_act_fn: str = "swish",
+        resnet_groups: int = 32,
+        num_attention_heads: int = 1,
+        cross_attention_dim: int = 1280,
+        output_scale_factor: float = 1.0,
+        downsample_padding: int = 1,
+        add_downsample: bool = True,
+        use_linear_projection: bool = False,
+        only_cross_attention: bool = False,
+    ):
+        super().__init__()
+        tl = _per_layer(transformer_layers_per_block, num_layers)
+        self.resnets = ModuleList(
+            [
+                ResnetBlock2D(
+                    in_channels=in_channels if i == 0 else out_channels,
+                    out_channels=out_channels,
+                    temb_channels=temb_channels,
+                    eps=resnet_eps,
+                    groups=resnet_groups,
+                    time_embedding_norm=resnet_time_scale_shift,
+                    non_linearity=resnet_act_fn,
+                    output_scale_factor=output_scale_factor,
+                )
+                for i in range(num_layers)
+            ]
+        )
+        self.attentions = ModuleList(
+            [
+                Transformer2DModel(
+                    num_attention_heads,
+                    out_channels // num_attention_heads,
+                    in_channels=out_channels,
+                    num_layers=tl[i],
+                    cross_attention_dim=cross_attention_dim,
+                    norm_num_groups=resnet_groups,
+                    use_linear_projection=use_linear_projection,
+                    only_cross_attention=only_cross_attention,
+                )
+                for i in range(num_layers)
+            ]
+        )
+        self.add_downsample = add_downsample
+        if add_downsample:
+            self.downsamplers = ModuleList(
+                [Downsample2D(out_channels, use_conv=True, out_channels=out_channels, padding=downsample_padding)]
+            )
+
+    def __call__(
+        self,
+        params: Params,
+        hidden_states: jax.Array,
+        temb: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+    ):
+        output_states = ()
+        for i, (resnet, attn) in enumerate(zip(self.resnets, self.attentions)):
+            hidden_states = resnet(params["resnets"][i], hidden_states, temb)
+            hidden_states = attn(
+                params["attentions"][i],
+                hidden_states,
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=attention_mask,
+                encoder_attention_mask=encoder_attention_mask,
+            )
+            output_states += (hidden_states,)
+        if self.add_downsample:
+            hidden_states = self.downsamplers[0](params["downsamplers"][0], hidden_states)
+            output_states += (hidden_states,)
+        return hidden_states, output_states
+
+
+class UNetMidBlock2DCrossAttn(Module):
+    has_cross_attention = True
+
+    def __init__(
+        self,
+        in_channels: int,
+        temb_channels: int,
+        num_layers: int = 1,
+        transformer_layers_per_block: Union[int, Tuple[int, ...]] = 1,
+        resnet_eps: float = 1e-6,
+        resnet_time_scale_shift: str = "default",
+        resnet_act_fn: str = "swish",
+        resnet_groups: int = 32,
+        num_attention_heads: int = 1,
+        cross_attention_dim: int = 1280,
+        output_scale_factor: float = 1.0,
+        use_linear_projection: bool = False,
+    ):
+        super().__init__()
+        tl = _per_layer(transformer_layers_per_block, num_layers)
+
+        def make_resnet():
+            return ResnetBlock2D(
+                in_channels=in_channels,
+                out_channels=in_channels,
+                temb_channels=temb_channels,
+                eps=resnet_eps,
+                groups=resnet_groups,
+                time_embedding_norm=resnet_time_scale_shift,
+                non_linearity=resnet_act_fn,
+                output_scale_factor=output_scale_factor,
+            )
+
+        self.resnets = ModuleList([make_resnet() for _ in range(num_layers + 1)])
+        self.attentions = ModuleList(
+            [
+                Transformer2DModel(
+                    num_attention_heads,
+                    in_channels // num_attention_heads,
+                    in_channels=in_channels,
+                    num_layers=tl[i],
+                    cross_attention_dim=cross_attention_dim,
+                    norm_num_groups=resnet_groups,
+                    use_linear_projection=use_linear_projection,
+                )
+                for i in range(num_layers)
+            ]
+        )
+
+    def __call__(
+        self,
+        params: Params,
+        hidden_states: jax.Array,
+        temb: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+    ):
+        hidden_states = self.resnets[0](params["resnets"][0], hidden_states, temb)
+        for i, attn in enumerate(self.attentions):
+            hidden_states = attn(
+                params["attentions"][i],
+                hidden_states,
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=attention_mask,
+                encoder_attention_mask=encoder_attention_mask,
+            )
+            hidden_states = self.resnets[i + 1](params["resnets"][i + 1], hidden_states, temb)
+        return hidden_states
+
+
+class CrossAttnUpBlock2D(Module):
+    has_cross_attention = True
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        prev_output_channel: int,
+        temb_channels: int,
+        num_layers: int = 1,
+        transformer_layers_per_block: Union[int, Tuple[int, ...]] = 1,
+        resnet_eps: float = 1e-6,
+        resnet_time_scale_shift: str = "default",
+        resnet_act_fn: str = "swish",
+        resnet_groups: int = 32,
+        num_attention_heads: int = 1,
+        cross_attention_dim: int = 1280,
+        output_scale_factor: float = 1.0,
+        add_upsample: bool = True,
+        use_linear_projection: bool = False,
+        only_cross_attention: bool = False,
+    ):
+        super().__init__()
+        tl = _per_layer(transformer_layers_per_block, num_layers)
+        resnets = []
+        for i in range(num_layers):
+            res_skip_channels = in_channels if (i == num_layers - 1) else out_channels
+            resnet_in_channels = prev_output_channel if i == 0 else out_channels
+            resnets.append(
+                ResnetBlock2D(
+                    in_channels=resnet_in_channels + res_skip_channels,
+                    out_channels=out_channels,
+                    temb_channels=temb_channels,
+                    eps=resnet_eps,
+                    groups=resnet_groups,
+                    time_embedding_norm=resnet_time_scale_shift,
+                    non_linearity=resnet_act_fn,
+                    output_scale_factor=output_scale_factor,
+                )
+            )
+        self.resnets = ModuleList(resnets)
+        self.attentions = ModuleList(
+            [
+                Transformer2DModel(
+                    num_attention_heads,
+                    out_channels // num_attention_heads,
+                    in_channels=out_channels,
+                    num_layers=tl[i],
+                    cross_attention_dim=cross_attention_dim,
+                    norm_num_groups=resnet_groups,
+                    use_linear_projection=use_linear_projection,
+                    only_cross_attention=only_cross_attention,
+                )
+                for i in range(num_layers)
+            ]
+        )
+        self.add_upsample = add_upsample
+        if add_upsample:
+            self.upsamplers = ModuleList([Upsample2D(out_channels, use_conv=True, out_channels=out_channels)])
+
+    def __call__(
+        self,
+        params: Params,
+        hidden_states: jax.Array,
+        res_hidden_states_tuple,
+        temb: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+    ):
+        for i, (resnet, attn) in enumerate(zip(self.resnets, self.attentions)):
+            res_hidden_states = res_hidden_states_tuple[-1]
+            res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            hidden_states = jnp.concatenate([hidden_states, res_hidden_states], axis=-1)
+            hidden_states = resnet(params["resnets"][i], hidden_states, temb)
+            hidden_states = attn(
+                params["attentions"][i],
+                hidden_states,
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=attention_mask,
+                encoder_attention_mask=encoder_attention_mask,
+            )
+        if self.add_upsample:
+            hidden_states = self.upsamplers[0](params["upsamplers"][0], hidden_states)
+        return hidden_states

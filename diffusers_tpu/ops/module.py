@@ -55,7 +55,9 @@ class Module:
             return params
         keys = jax.random.split(key, len(children))
         for (name, child), k in zip(children, keys):
-            params[name] = child.init(k, dtype=dtype)
+            child_params = child.init(k, dtype=dtype)
+            if child_params:  # omit parameter-free subtrees (canonical trees)
+                params[name] = child_params
         return params
 
     def __call__(self, params: Params, *args, **kwargs):
@@ -88,7 +90,12 @@ class ModuleList(Module):
         if not self._modules:
             return {}
         keys = jax.random.split(key, len(self._modules))
-        return {i: m.init(k, dtype=dtype) for i, (m, k) in enumerate(zip(self._modules, keys))}
+        out = {}
+        for i, (m, k) in enumerate(zip(self._modules, keys)):
+            p = m.init(k, dtype=dtype)
+            if p:
+                out[i] = p
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -8,3 +8,10 @@ import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Parity tests compare against torch fp32; JAX's default matmul/conv precision
+# emulates TPU bf16 passes even on CPU, so force exact fp32 in tests.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402  (import after env setup, before any test imports it)
+
+jax.config.update("jax_default_matmul_precision", "highest")
