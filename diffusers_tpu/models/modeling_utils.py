@@ -249,6 +249,9 @@ class ModelMixin(ConfigMixin):
         os.makedirs(save_directory, exist_ok=True)
         self.save_config(save_directory)
         state_dict = flatten_to_torch_state_dict(self, params)
+        # safetensors silently serializes the base buffer of non-contiguous
+        # arrays (our layout transposes produce views) — force contiguity.
+        state_dict = {k: np.ascontiguousarray(v) for k, v in state_dict.items()}
         save_file(state_dict, os.path.join(save_directory, SAFETENSORS_WEIGHTS_NAME))
 
     @property
