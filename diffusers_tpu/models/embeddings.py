@@ -158,3 +158,124 @@ def apply_rotary_emb(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array) -
             freqs_sin = freqs_sin[None]
     out = x_f * freqs_cos + x_rot * freqs_sin
     return out.astype(x.dtype)
+
+
+class PixArtAlphaTextProjection(Module):
+    """Pooled-text MLP projection (reference embeddings.PixArtAlphaTextProjection)."""
+
+    def __init__(self, in_features: int, hidden_size: int, out_features: Optional[int] = None, act_fn: str = "gelu_tanh"):
+        super().__init__()
+        out_features = out_features or hidden_size
+        self.linear_1 = Linear(in_features, hidden_size, use_bias=True)
+        self.act_fn = act_fn
+        self.linear_2 = Linear(hidden_size, out_features, use_bias=True)
+
+    def __call__(self, params: Params, caption: jax.Array) -> jax.Array:
+        x = self.linear_1(params["linear_1"], caption)
+        if self.act_fn == "gelu_tanh":
+            x = jax.nn.gelu(x, approximate=True)
+        elif self.act_fn == "silu":
+            x = jax.nn.silu(x)
+        elif self.act_fn == "silu_fp32":
+            x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+        else:
+            raise ValueError(f"unknown activation {self.act_fn}")
+        return self.linear_2(params["linear_2"], x)
+
+
+class CombinedTimestepTextProjEmbeddings(Module):
+    """timestep-sinusoid MLP + pooled-text MLP, summed (SD3/Flux temb)."""
+
+    def __init__(self, embedding_dim: int, pooled_projection_dim: int):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True, downscale_freq_shift=0)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256, time_embed_dim=embedding_dim)
+        self.text_embedder = PixArtAlphaTextProjection(pooled_projection_dim, embedding_dim, act_fn="silu")
+
+    def __call__(self, params: Params, timestep: jax.Array, pooled_projection: jax.Array) -> jax.Array:
+        t_proj = self.time_proj({}, timestep).astype(pooled_projection.dtype)
+        t_emb = self.timestep_embedder(params["timestep_embedder"], t_proj)
+        pooled = self.text_embedder(params["text_embedder"], pooled_projection)
+        return t_emb + pooled
+
+
+class CombinedTimestepGuidanceTextProjEmbeddings(Module):
+    """Flux guidance-distilled variant: + guidance embedding."""
+
+    def __init__(self, embedding_dim: int, pooled_projection_dim: int):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True, downscale_freq_shift=0)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256, time_embed_dim=embedding_dim)
+        self.guidance_embedder = TimestepEmbedding(in_channels=256, time_embed_dim=embedding_dim)
+        self.text_embedder = PixArtAlphaTextProjection(pooled_projection_dim, embedding_dim, act_fn="silu")
+
+    def __call__(self, params: Params, timestep: jax.Array, guidance: jax.Array, pooled_projection: jax.Array) -> jax.Array:
+        t_proj = self.time_proj({}, timestep).astype(pooled_projection.dtype)
+        t_emb = self.timestep_embedder(params["timestep_embedder"], t_proj)
+        g_proj = self.time_proj({}, guidance).astype(pooled_projection.dtype)
+        g_emb = self.guidance_embedder(params["guidance_embedder"], g_proj)
+        pooled = self.text_embedder(params["text_embedder"], pooled_projection)
+        return t_emb + g_emb + pooled
+
+
+def get_1d_rotary_pos_embed_np(
+    dim: int,
+    pos: np.ndarray,
+    theta: float = 10000.0,
+    repeat_interleave_real: bool = True,
+    freqs_dtype=np.float64,
+):
+    """Host-side (numpy, float64) 1D RoPE table — mirrors the reference's
+    float64 computation (embeddings.get_1d_rotary_pos_embed, flux path)."""
+    assert dim % 2 == 0
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=freqs_dtype) / dim))
+    freqs = np.outer(np.asarray(pos, dtype=freqs_dtype), freqs)  # [S, D/2]
+    if repeat_interleave_real:
+        cos = np.repeat(np.cos(freqs), 2, axis=1).astype(np.float32)
+        sin = np.repeat(np.sin(freqs), 2, axis=1).astype(np.float32)
+    else:
+        cos = np.concatenate([np.cos(freqs), np.cos(freqs)], axis=-1).astype(np.float32)
+        sin = np.concatenate([np.sin(freqs), np.sin(freqs)], axis=-1).astype(np.float32)
+    return cos, sin
+
+
+def get_1d_rotary_pos_embed(dim: int, pos: jax.Array, theta: float = 10000.0, repeat_interleave_real: bool = True):
+    """Traced (float32) 1D RoPE table for when ids are device arrays."""
+    assert dim % 2 == 0
+    freqs = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freqs = jnp.outer(pos.astype(jnp.float32), freqs)
+    if repeat_interleave_real:
+        cos = jnp.repeat(jnp.cos(freqs), 2, axis=1)
+        sin = jnp.repeat(jnp.sin(freqs), 2, axis=1)
+    else:
+        cos = jnp.concatenate([jnp.cos(freqs), jnp.cos(freqs)], axis=-1)
+        sin = jnp.concatenate([jnp.sin(freqs), jnp.sin(freqs)], axis=-1)
+    return cos, sin
+
+
+class FluxPosEmbed(Module):
+    """Multi-axis RoPE over packed (txt+img) position ids (reference
+    transformer_flux.py FluxPosEmbed / black-forest-labs flux layers.EmbedND)."""
+
+    def __init__(self, theta: int, axes_dim):
+        super().__init__()
+        self.theta = theta
+        self.axes_dim = list(axes_dim)
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        return {}
+
+    def __call__(self, params: Params, ids: jax.Array):
+        n_axes = ids.shape[-1]
+        cos_out, sin_out = [], []
+        if isinstance(ids, np.ndarray):
+            for i in range(n_axes):
+                cos, sin = get_1d_rotary_pos_embed_np(self.axes_dim[i], ids[:, i], theta=self.theta)
+                cos_out.append(cos)
+                sin_out.append(sin)
+            return np.concatenate(cos_out, axis=-1), np.concatenate(sin_out, axis=-1)
+        for i in range(n_axes):
+            cos, sin = get_1d_rotary_pos_embed(self.axes_dim[i], ids[:, i], theta=self.theta)
+            cos_out.append(cos)
+            sin_out.append(sin)
+        return jnp.concatenate(cos_out, axis=-1), jnp.concatenate(sin_out, axis=-1)

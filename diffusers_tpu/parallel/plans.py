@@ -1,0 +1,107 @@
+"""Per-model parameter/activation sharding plans.
+
+The TPU equivalent of the reference's declarative `_cp_plan` tables
+(`/root/reference/src/diffusers/models/_modeling_parallel.py:250`
+ContextParallelModelPlan; e.g. Flux `transformer_flux.py:567`): instead of
+registering split/gather hooks, each model family gets a table of
+(param-path-regex → PartitionSpec). Applying a plan is just
+`jax.device_put(params, NamedSharding(mesh, spec))` per leaf — XLA/GSPMD then
+propagates the shardings through the jitted graph and inserts collectives
+over ICI.
+
+Conventions (param layouts are ours: Linear kernel [in, out], conv HWIO):
+  * column-parallel (shard output features over "tensor"): qkv projections,
+    MLP up-projections — spec P(None, "tensor")
+  * row-parallel (shard input features): attention out / MLP down — spec
+    P("tensor", None); XLA inserts the psum.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import TENSOR_AXIS
+
+# (regex over dotted param path, PartitionSpec) — first match wins.
+FLUX_TP_PLAN: List[Tuple[str, P]] = [
+    # dual + single blocks: attention qkv (and added qkv) column-parallel
+    (r".*\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.kernel$", P(None, TENSOR_AXIS)),
+    (r".*\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.bias$", P(TENSOR_AXIS)),
+    # attention out row-parallel
+    (r".*\.attn\.(to_out\.0|to_add_out)\.kernel$", P(TENSOR_AXIS, None)),
+    # feed-forward: up col-parallel, down row-parallel
+    (r".*\.ff(_context)?\.net\.0\.proj\.kernel$", P(None, TENSOR_AXIS)),
+    (r".*\.ff(_context)?\.net\.0\.proj\.bias$", P(TENSOR_AXIS)),
+    (r".*\.ff(_context)?\.net\.2\.kernel$", P(TENSOR_AXIS, None)),
+    # single-block fused mlp
+    (r".*\.proj_mlp\.kernel$", P(None, TENSOR_AXIS)),
+    (r".*\.proj_mlp\.bias$", P(TENSOR_AXIS)),
+    (r".*single_transformer_blocks\.\d+\.proj_out\.kernel$", P(TENSOR_AXIS, None)),
+]
+
+UNET_TP_PLAN: List[Tuple[str, P]] = [
+    (r".*\.(to_q|to_k|to_v)\.kernel$", P(None, TENSOR_AXIS)),
+    (r".*\.to_out\.0\.kernel$", P(TENSOR_AXIS, None)),
+    (r".*\.ff\.net\.0\.proj\.kernel$", P(None, TENSOR_AXIS)),
+    (r".*\.ff\.net\.0\.proj\.bias$", P(TENSOR_AXIS)),
+    (r".*\.ff\.net\.2\.kernel$", P(TENSOR_AXIS, None)),
+    # conv output channels over tensor axis (HWIO → shard O)
+    (r".*\.conv\d?\.kernel$", P(None, None, None, TENSOR_AXIS)),
+    (r".*\.conv\d?\.bias$", P(TENSOR_AXIS)),
+]
+
+SD3_TP_PLAN = FLUX_TP_PLAN  # same projection naming
+
+MODEL_TP_PLANS: Dict[str, List[Tuple[str, P]]] = {
+    "FluxTransformer2DModel": FLUX_TP_PLAN,
+    "SD3Transformer2DModel": SD3_TP_PLAN,
+    "UNet2DConditionModel": UNET_TP_PLAN,
+}
+
+
+def _flatten_with_paths(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_with_paths(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def spec_for_path(path: str, plan: List[Tuple[str, P]]) -> P:
+    for pattern, spec in plan:
+        if re.fullmatch(pattern, path):
+            return spec
+    return P()  # replicate
+
+
+def make_param_shardings(mesh: Mesh, params, plan: List[Tuple[str, P]]):
+    """Pytree of NamedShardings matching `params` structure."""
+
+    def walk(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                out[k] = walk(v, key)
+            else:
+                out[k] = NamedSharding(mesh, spec_for_path(key, plan))
+        return out
+
+    return walk(params)
+
+
+def shard_params(mesh: Mesh, params, plan_or_model_name) -> "params":
+    """device_put each leaf with its planned sharding."""
+    plan = MODEL_TP_PLANS[plan_or_model_name] if isinstance(plan_or_model_name, str) else plan_or_model_name
+    shardings = make_param_shardings(mesh, params, plan)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )

@@ -49,13 +49,14 @@ class DDPMPipeline(DiffusionPipeline):
         sample = randn_tensor((batch_size, *image_shape), key=init_key)
         step_keys = jax.random.split(key, state.timesteps.shape[0])
 
-        def step_fn(sample, xs):
+        def step_fn(carry, xs):
+            sample, sstate = carry
             t, k = xs
             model_output = model(params, sample, t).sample
-            sample = scheduler.step(state, model_output, t, sample, key=k).prev_sample
-            return sample, None
+            out = scheduler.step(sstate, model_output, t, sample, key=k)
+            return (out.prev_sample, out.state), None
 
-        sample, _ = jax.lax.scan(step_fn, sample, (state.timesteps, step_keys))
+        (sample, _), _ = jax.lax.scan(step_fn, (sample, state), (state.timesteps, step_keys))
         image = jnp.clip(sample / 2 + 0.5, 0, 1)
         return jnp.transpose(image, (0, 2, 3, 1))  # NHWC output
 

@@ -1,0 +1,192 @@
+"""Stable Diffusion text-to-image pipeline.
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/pipelines/stable_diffusion/pipeline_stable_diffusion.py`),
+re-architected TPU-first:
+
+  * encode (jit) → denoise (ONE jitted `lax.scan` over all steps, with
+    classifier-free guidance folded in as a batch-2 forward) → decode (jit).
+  * zero host synchronization inside the denoise loop (the reference pays a
+    Python iteration + optional `xm.mark_step()` per step).
+  * the scheduler is a functional state machine, so any of our schedulers
+    drops in without touching the loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...image_processor import VaeImageProcessor
+from ...utils import BaseOutput, logging
+from ...utils.jax_utils import randn_tensor
+from ..pipeline_utils import DiffusionPipeline
+
+logger = logging.get_logger(__name__)
+
+
+@dataclass
+class StableDiffusionPipelineOutput(BaseOutput):
+    images: Union[List, np.ndarray]
+
+
+class StableDiffusionPipeline(DiffusionPipeline):
+    _optional_components = ["safety_checker", "feature_extractor", "image_encoder"]
+
+    def __init__(
+        self,
+        vae,
+        text_encoder,
+        tokenizer,
+        unet,
+        scheduler,
+        safety_checker=None,
+        feature_extractor=None,
+        image_encoder=None,
+        requires_safety_checker: bool = False,
+    ):
+        super().__init__()
+        self.register_modules(
+            vae=vae,
+            text_encoder=text_encoder,
+            tokenizer=tokenizer,
+            unet=unet,
+            scheduler=scheduler,
+            safety_checker=safety_checker,
+            feature_extractor=feature_extractor,
+            image_encoder=image_encoder,
+        )
+        self.register_to_config(requires_safety_checker=requires_safety_checker)
+        self.vae_scale_factor = 2 ** (len(self.vae[0].config.block_out_channels) - 1) if vae is not None else 8
+        self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor)
+
+    # ------------------------------------------------------------ prompts
+    def _tokenize(self, prompt: Union[str, List[str]]):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        inputs = self.tokenizer(
+            prompt,
+            padding="max_length",
+            max_length=self.tokenizer.model_max_length,
+            truncation=True,
+            return_tensors="np",
+        )
+        return jnp.asarray(inputs.input_ids)
+
+    def encode_prompt(self, prompt, negative_prompt=None, do_classifier_free_guidance=True):
+        """Returns [2B or B, S, D] embeddings (uncond first, reference CFG order)."""
+        text_encoder, te_params = self.text_encoder
+        ids = self._tokenize(prompt)
+        prompt_embeds = text_encoder(te_params, ids).last_hidden_state
+        if not do_classifier_free_guidance:
+            return prompt_embeds
+        if negative_prompt is None:
+            negative_prompt = [""] * ids.shape[0]
+        elif isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * ids.shape[0]
+        neg_ids = self._tokenize(negative_prompt)
+        negative_embeds = text_encoder(te_params, neg_ids).last_hidden_state
+        return jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
+
+    # ------------------------------------------------------------ denoise
+    def _denoise(
+        self,
+        unet_params,
+        prompt_embeds: jax.Array,
+        latents: jax.Array,
+        guidance_scale: float,
+        num_inference_steps: int,
+        do_cfg: bool,
+    ) -> jax.Array:
+        unet = self.unet[0]
+        scheduler = self.scheduler
+        state = scheduler.set_timesteps(num_inference_steps)
+        latents = latents * state.init_noise_sigma
+        if hasattr(scheduler, "prepare"):  # multistep schedulers allocate history
+            state = scheduler.prepare(state, latents)
+
+        def step_fn(carry, t):
+            latents, state = carry
+            latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+            latent_input = scheduler.scale_model_input(state, latent_input, t)
+            noise_pred = unet(
+                unet_params,
+                latent_input,
+                jnp.broadcast_to(t, (latent_input.shape[0],)),
+                encoder_hidden_states=prompt_embeds,
+            ).sample
+            if do_cfg:
+                noise_uncond, noise_text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = noise_uncond + guidance_scale * (noise_text - noise_uncond)
+            out = scheduler.step(state, noise_pred, t, latents)
+            return (out.prev_sample, out.state), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), state.timesteps)
+        return latents
+
+    # ------------------------------------------------------------ __call__
+    def __call__(
+        self,
+        prompt: Union[str, List[str]] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: Optional[Union[str, List[str]]] = None,
+        num_images_per_prompt: int = 1,
+        key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        output_type: str = "pil",
+        return_dict: bool = True,
+    ):
+        unet, unet_params = self.unet
+        vae, vae_params = self.vae
+        height = height or unet.config.sample_size * self.vae_scale_factor
+        width = width or unet.config.sample_size * self.vae_scale_factor
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        do_cfg = guidance_scale > 1.0
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
+        batch_size = prompt_embeds.shape[0] // (2 if do_cfg else 1)
+
+        if num_images_per_prompt != 1:
+            prompt_embeds = jnp.repeat(prompt_embeds, num_images_per_prompt, axis=0)
+            batch_size *= num_images_per_prompt
+
+        shape = (
+            batch_size,
+            unet.config.in_channels,
+            height // self.vae_scale_factor,
+            width // self.vae_scale_factor,
+        )
+        if latents is None:
+            latents = randn_tensor(shape, key=key)
+
+        denoise = jax.jit(
+            partial(
+                self._denoise,
+                guidance_scale=guidance_scale,
+                num_inference_steps=num_inference_steps,
+                do_cfg=do_cfg,
+            )
+        )
+        latents = denoise(unet_params, prompt_embeds, latents)
+
+        if output_type == "latent":
+            image = latents
+        else:
+            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            image = decode(vae_params, latents)
+            image = self.image_processor.postprocess(image, output_type=output_type)
+
+        if not return_dict:
+            return (image,)
+        return StableDiffusionPipelineOutput(images=image)

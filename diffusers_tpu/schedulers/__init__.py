@@ -1,5 +1,15 @@
 from .scheduling_ddim import DDIMScheduler, DDIMSchedulerOutput, DDIMSchedulerState
 from .scheduling_ddpm import DDPMScheduler, DDPMSchedulerOutput, DDPMSchedulerState
+from .scheduling_dpmsolver_multistep import (
+    DPMSolverMultistepScheduler,
+    DPMSolverMultistepSchedulerOutput,
+    DPMSolverMultistepSchedulerState,
+)
+from .scheduling_euler_ancestral_discrete import (
+    EulerAncestralDiscreteScheduler,
+    EulerAncestralDiscreteSchedulerOutput,
+    EulerAncestralDiscreteSchedulerState,
+)
 from .scheduling_euler_discrete import (
     EulerDiscreteScheduler,
     EulerDiscreteSchedulerOutput,

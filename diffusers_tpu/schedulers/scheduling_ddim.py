@@ -41,6 +41,7 @@ class DDIMSchedulerState:
 class DDIMSchedulerOutput(BaseOutput):
     prev_sample: jax.Array
     pred_original_sample: Optional[jax.Array] = None
+    state: Optional[DDIMSchedulerState] = None
 
 
 class DDIMScheduler(SchedulerMixin, ConfigMixin):
@@ -190,7 +191,7 @@ class DDIMScheduler(SchedulerMixin, ConfigMixin):
         pred_original_sample = pred_original_sample.astype(sample.dtype)
         if not return_dict:
             return (prev_sample, pred_original_sample)
-        return DDIMSchedulerOutput(prev_sample=prev_sample, pred_original_sample=pred_original_sample)
+        return DDIMSchedulerOutput(prev_sample=prev_sample, pred_original_sample=pred_original_sample, state=state)
 
     def add_noise(self, state: DDIMSchedulerState, original_samples, noise, timesteps):
         alphas_cumprod = state.alphas_cumprod.astype(original_samples.dtype)

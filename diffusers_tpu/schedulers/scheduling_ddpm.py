@@ -62,6 +62,7 @@ class DDPMSchedulerState:
 class DDPMSchedulerOutput(BaseOutput):
     prev_sample: jax.Array
     pred_original_sample: Optional[jax.Array] = None
+    state: Optional[DDPMSchedulerState] = None
 
 
 class DDPMScheduler(SchedulerMixin, ConfigMixin):
@@ -283,7 +284,9 @@ class DDPMScheduler(SchedulerMixin, ConfigMixin):
         pred_original_sample = pred_original_sample.astype(sample.dtype)
         if not return_dict:
             return (pred_prev_sample, pred_original_sample)
-        return DDPMSchedulerOutput(prev_sample=pred_prev_sample, pred_original_sample=pred_original_sample)
+        return DDPMSchedulerOutput(
+            prev_sample=pred_prev_sample, pred_original_sample=pred_original_sample, state=state
+        )
 
     def add_noise(self, state: DDPMSchedulerState, original_samples, noise, timesteps):
         alphas_cumprod = state.alphas_cumprod.astype(original_samples.dtype)

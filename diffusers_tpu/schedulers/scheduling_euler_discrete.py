@@ -43,6 +43,7 @@ class EulerDiscreteSchedulerState:
 class EulerDiscreteSchedulerOutput(BaseOutput):
     prev_sample: jax.Array
     pred_original_sample: Optional[jax.Array] = None
+    state: Optional[EulerDiscreteSchedulerState] = None
 
 
 class EulerDiscreteScheduler(SchedulerMixin, ConfigMixin):
@@ -228,7 +229,9 @@ class EulerDiscreteScheduler(SchedulerMixin, ConfigMixin):
         if not return_dict:
             return (prev_sample, pred_original_sample.astype(model_output.dtype))
         return EulerDiscreteSchedulerOutput(
-            prev_sample=prev_sample, pred_original_sample=pred_original_sample.astype(model_output.dtype)
+            prev_sample=prev_sample,
+            pred_original_sample=pred_original_sample.astype(model_output.dtype),
+            state=state,
         )
 
     def add_noise(self, state: EulerDiscreteSchedulerState, original_samples, noise, timesteps):

@@ -36,6 +36,7 @@ class FlowMatchEulerDiscreteSchedulerState:
 @dataclass
 class FlowMatchEulerDiscreteSchedulerOutput(BaseOutput):
     prev_sample: jax.Array
+    state: Optional[FlowMatchEulerDiscreteSchedulerState] = None
 
 
 class FlowMatchEulerDiscreteScheduler(SchedulerMixin, ConfigMixin):
@@ -188,7 +189,7 @@ class FlowMatchEulerDiscreteScheduler(SchedulerMixin, ConfigMixin):
         prev_sample = prev_sample.astype(model_output.dtype)
         if not return_dict:
             return (prev_sample,)
-        return FlowMatchEulerDiscreteSchedulerOutput(prev_sample=prev_sample)
+        return FlowMatchEulerDiscreteSchedulerOutput(prev_sample=prev_sample, state=state)
 
     def __len__(self):
         return self.config.num_train_timesteps

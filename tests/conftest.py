@@ -5,8 +5,10 @@ re-expressed as a virtual JAX mesh)."""
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-assign: the base environment pins JAX_PLATFORMS=axon (real TPU);
+# unit tests run hermetically on an 8-virtual-device CPU platform.
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Parity tests compare against torch fp32; JAX's default matmul/conv precision
 # emulates TPU bf16 passes even on CPU, so force exact fp32 in tests.
