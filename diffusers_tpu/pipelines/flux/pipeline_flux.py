@@ -1,0 +1,257 @@
+"""Flux text-to-image pipeline.
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/pipelines/flux/pipeline_flux.py:146` FluxPipeline;
+hot loop `:888-952`, latent packing `:506-545`, mu shift `:825-834`),
+TPU-first: encode (jit) → ONE scanned, jitted denoise loop (distilled
+guidance folded into the transformer input; zero host sync per step) →
+unpack + VAE decode (jit). RoPE tables are computed host-side in float64 once
+per shape and fed into the scan as constants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...image_processor import VaeImageProcessor
+from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
+from ...utils import BaseOutput, logging
+from ...utils.jax_utils import randn_tensor
+from ..pipeline_utils import DiffusionPipeline
+
+logger = logging.get_logger(__name__)
+
+
+@dataclass
+class FluxPipelineOutput(BaseOutput):
+    images: Union[List, np.ndarray]
+
+
+class FluxPipeline(DiffusionPipeline):
+    _optional_components = ["image_encoder", "feature_extractor"]
+
+    def __init__(
+        self,
+        scheduler,
+        vae,
+        text_encoder,
+        tokenizer,
+        text_encoder_2,
+        tokenizer_2,
+        transformer,
+        image_encoder=None,
+        feature_extractor=None,
+    ):
+        super().__init__()
+        self.register_modules(
+            vae=vae,
+            text_encoder=text_encoder,
+            text_encoder_2=text_encoder_2,
+            tokenizer=tokenizer,
+            tokenizer_2=tokenizer_2,
+            transformer=transformer,
+            scheduler=scheduler,
+            image_encoder=image_encoder,
+            feature_extractor=feature_extractor,
+        )
+        self.vae_scale_factor = 2 ** (len(self.vae[0].config.block_out_channels) - 1) if vae is not None else 8
+        self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor * 2)
+        self.tokenizer_max_length = 77
+        self.default_sample_size = 128
+
+    # ---------------------------------------------------------------- text
+    def _get_clip_prompt_embeds(self, prompt: List[str]):
+        text_encoder, te_params = self.text_encoder
+        inputs = self.tokenizer(
+            prompt,
+            padding="max_length",
+            max_length=self.tokenizer_max_length,
+            truncation=True,
+            return_tensors="np",
+        )
+        out = text_encoder(te_params, jnp.asarray(inputs.input_ids))
+        return out.pooler_output  # [B, D]
+
+    def _get_t5_prompt_embeds(self, prompt: List[str], max_sequence_length: int = 512):
+        text_encoder, te_params = self.text_encoder_2
+        inputs = self.tokenizer_2(
+            prompt,
+            padding="max_length",
+            max_length=max_sequence_length,
+            truncation=True,
+            return_tensors="np",
+        )
+        out = text_encoder(te_params, jnp.asarray(inputs.input_ids))
+        return out.last_hidden_state  # [B, S, D]
+
+    def encode_prompt(self, prompt, prompt_2=None, max_sequence_length: int = 512):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        prompt_2 = prompt_2 or prompt
+        if isinstance(prompt_2, str):
+            prompt_2 = [prompt_2]
+        pooled_prompt_embeds = self._get_clip_prompt_embeds(prompt)
+        prompt_embeds = self._get_t5_prompt_embeds(prompt_2, max_sequence_length)
+        txt_ids = np.zeros((prompt_embeds.shape[1], 3), dtype=np.float32)
+        return prompt_embeds, pooled_prompt_embeds, txt_ids
+
+    # ------------------------------------------------------------- latents
+    @staticmethod
+    def _prepare_latent_image_ids(height: int, width: int) -> np.ndarray:
+        ids = np.zeros((height, width, 3), dtype=np.float32)
+        ids[..., 1] += np.arange(height)[:, None]
+        ids[..., 2] += np.arange(width)[None, :]
+        return ids.reshape(height * width, 3)
+
+    @staticmethod
+    def _pack_latents(latents: jax.Array) -> jax.Array:
+        b, c, h, w = latents.shape
+        latents = latents.reshape(b, c, h // 2, 2, w // 2, 2)
+        latents = jnp.transpose(latents, (0, 2, 4, 1, 3, 5))
+        return latents.reshape(b, (h // 2) * (w // 2), c * 4)
+
+    @staticmethod
+    def _unpack_latents(latents: jax.Array, height: int, width: int, vae_scale_factor: int) -> jax.Array:
+        b, num_patches, channels = latents.shape
+        h = 2 * (int(height) // (vae_scale_factor * 2))
+        w = 2 * (int(width) // (vae_scale_factor * 2))
+        latents = latents.reshape(b, h // 2, w // 2, channels // 4, 2, 2)
+        latents = jnp.transpose(latents, (0, 3, 1, 4, 2, 5))
+        return latents.reshape(b, channels // 4, h, w)
+
+    # ------------------------------------------------------------- denoise
+    def _denoise(
+        self,
+        transformer_params,
+        latents: jax.Array,
+        prompt_embeds: jax.Array,
+        pooled_prompt_embeds: jax.Array,
+        rope_cos: jax.Array,
+        rope_sin: jax.Array,
+        timesteps: jax.Array,
+        state,
+        guidance: Optional[jax.Array],
+    ) -> jax.Array:
+        transformer = self.transformer[0]
+        scheduler = self.scheduler
+
+        def step_fn(carry, t):
+            latents, sstate = carry
+            timestep = jnp.broadcast_to(t, (latents.shape[0],)) / 1000.0
+            noise_pred = transformer(
+                transformer_params,
+                latents,
+                encoder_hidden_states=prompt_embeds,
+                pooled_projections=pooled_prompt_embeds,
+                timestep=timestep,
+                guidance=guidance,
+                image_rotary_emb=(rope_cos, rope_sin),
+            ).sample
+            out = scheduler.step(sstate, noise_pred, t, latents)
+            return (out.prev_sample, out.state), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
+        return latents
+
+    # ------------------------------------------------------------- __call__
+    def __call__(
+        self,
+        prompt: Union[str, List[str]] = None,
+        prompt_2: Optional[Union[str, List[str]]] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 28,
+        guidance_scale: float = 3.5,
+        num_images_per_prompt: int = 1,
+        key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        pooled_prompt_embeds: Optional[jax.Array] = None,
+        max_sequence_length: int = 512,
+        output_type: str = "pil",
+        return_dict: bool = True,
+    ):
+        transformer, transformer_params = self.transformer
+        vae, vae_params = self.vae
+        height = height or self.default_sample_size * self.vae_scale_factor
+        width = width or self.default_sample_size * self.vae_scale_factor
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        if prompt_embeds is None or pooled_prompt_embeds is None:
+            prompt_embeds, pooled_prompt_embeds, txt_ids = self.encode_prompt(prompt, prompt_2, max_sequence_length)
+        else:
+            txt_ids = np.zeros((prompt_embeds.shape[1], 3), dtype=np.float32)
+        batch_size = prompt_embeds.shape[0] * num_images_per_prompt
+        if num_images_per_prompt != 1:
+            prompt_embeds = jnp.repeat(prompt_embeds, num_images_per_prompt, axis=0)
+            pooled_prompt_embeds = jnp.repeat(pooled_prompt_embeds, num_images_per_prompt, axis=0)
+
+        # latents (packed 2x2 patches)
+        num_channels_latents = transformer.config.in_channels // 4
+        lh = 2 * (height // (self.vae_scale_factor * 2))
+        lw = 2 * (width // (self.vae_scale_factor * 2))
+        if latents is None:
+            latents = randn_tensor((batch_size, num_channels_latents, lh, lw), key=key)
+            latents = self._pack_latents(latents)
+        img_ids = self._prepare_latent_image_ids(lh // 2, lw // 2)
+
+        # RoPE tables: host-side float64 (matches reference's float64 rope)
+        ids = np.concatenate([txt_ids, img_ids], axis=0)
+        rope_cos, rope_sin = transformer.pos_embed({}, ids)
+
+        # timestep schedule with resolution-dependent mu shift
+        image_seq_len = latents.shape[1]
+        sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
+        mu = calculate_shift(
+            image_seq_len,
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        if self.scheduler.config.use_dynamic_shifting:
+            state = self.scheduler.set_timesteps(sigmas=list(sigmas), mu=mu)
+        else:
+            state = self.scheduler.set_timesteps(num_inference_steps)
+
+        guidance = None
+        if transformer.config.guidance_embeds:
+            guidance = jnp.full((batch_size,), guidance_scale, dtype=jnp.float32)
+
+        denoise = jax.jit(self._denoise)
+        latents = denoise(
+            transformer_params,
+            latents,
+            prompt_embeds,
+            pooled_prompt_embeds,
+            jnp.asarray(rope_cos),
+            jnp.asarray(rope_sin),
+            state.timesteps,
+            state,
+            guidance,
+        )
+
+        if output_type == "latent":
+            image = latents
+        else:
+            latents = self._unpack_latents(latents, height, width, self.vae_scale_factor)
+
+            def decode(p, z):
+                z = z / vae.config.scaling_factor
+                if vae.config.get("shift_factor") is not None:
+                    z = z + vae.config.shift_factor
+                return vae.decode(p, z).sample
+
+            image = jax.jit(decode)(vae_params, latents)
+            image = self.image_processor.postprocess(image, output_type=output_type)
+
+        if not return_dict:
+            return (image,)
+        return FluxPipelineOutput(images=image)

@@ -1,0 +1,98 @@
+"""FluxPipeline end-to-end test with tiny hermetic components (reference
+strategy: `tests/pipelines/flux/test_pipeline_flux.py` get_dummy_components)."""
+
+import jax
+import numpy as np
+
+from diffusers_tpu.models.autoencoders.autoencoder_kl import AutoencoderKL
+from diffusers_tpu.models.text_encoders.clip import CLIPTextModel
+from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
+from diffusers_tpu.models.transformers.transformer_flux import FluxTransformer2DModel
+from diffusers_tpu.pipelines.flux.pipeline_flux import FluxPipeline
+from diffusers_tpu.schedulers import FlowMatchEulerDiscreteScheduler
+
+
+class DummyTokenizer:
+    model_max_length = 77
+
+    def __call__(self, prompts, padding=None, max_length=8, truncation=True, return_tensors="np"):
+        class Out:
+            pass
+
+        out = Out()
+        ids = []
+        for p in prompts:
+            h = [((hash(p) + i * 31) % 500) + 2 for i in range(max_length - 2)]
+            ids.append([1] + h + [2])
+        out.input_ids = np.array(ids)
+        return out
+
+    def save_pretrained(self, path):
+        pass
+
+
+def get_dummy_pipeline():
+    key = jax.random.PRNGKey(0)
+    transformer = FluxTransformer2DModel(
+        patch_size=1,
+        in_channels=4,
+        num_layers=1,
+        num_single_layers=1,
+        attention_head_dim=16,
+        num_attention_heads=2,
+        joint_attention_dim=32,
+        pooled_projection_dim=32,
+        axes_dims_rope=(4, 6, 6),
+    )
+    t_params = transformer.init_params(key)
+    vae = AutoencoderKL(
+        in_channels=3,
+        out_channels=3,
+        block_out_channels=(4,),
+        down_block_types=("DownEncoderBlock2D",),
+        up_block_types=("UpDecoderBlock2D",),
+        latent_channels=1,
+        layers_per_block=1,
+        norm_num_groups=1,
+        sample_size=32,
+        scaling_factor=1.5035,
+        shift_factor=0.0609,
+    )
+    vae_params = vae.init_params(key)
+    clip = CLIPTextModel(
+        vocab_size=1000, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=77, projection_dim=32,
+    )
+    clip_params = clip.init_params(key)
+    t5 = T5EncoderModel(vocab_size=1000, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4,
+                        feed_forward_proj="gated-gelu")
+    t5_params = t5.init_params(key)
+    scheduler = FlowMatchEulerDiscreteScheduler(use_dynamic_shifting=True, base_shift=0.5, max_shift=1.15)
+    return FluxPipeline(
+        scheduler=scheduler,
+        vae=(vae, vae_params),
+        text_encoder=(clip, clip_params),
+        tokenizer=DummyTokenizer(),
+        text_encoder_2=(t5, t5_params),
+        tokenizer_2=DummyTokenizer(),
+        transformer=(transformer, t_params),
+    )
+
+
+def test_flux_text2image():
+    pipe = get_dummy_pipeline()
+    out = pipe("a painting of a squirrel", height=32, width=32, num_inference_steps=2,
+               guidance_scale=3.5, key=jax.random.PRNGKey(0), output_type="np")
+    # vae_scale_factor = 1 (single block) → latent 2x downpack only
+    assert out.images.shape[0] == 1
+    assert out.images.shape[-1] == 3
+    assert np.isfinite(out.images).all()
+
+
+def test_flux_latent_output_deterministic():
+    pipe = get_dummy_pipeline()
+    a = pipe("a cat", height=32, width=32, num_inference_steps=2, key=jax.random.PRNGKey(3),
+             output_type="latent", return_dict=False)[0]
+    b = pipe("a cat", height=32, width=32, num_inference_steps=2, key=jax.random.PRNGKey(3),
+             output_type="latent", return_dict=False)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

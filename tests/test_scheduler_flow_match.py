@@ -34,8 +34,10 @@ def test_dynamic_shifting_matches_reference_formula():
     scheduler = FlowMatchEulerDiscreteScheduler(use_dynamic_shifting=True)
     mu = calculate_shift(1024)
     state = scheduler.set_timesteps(5, mu=mu)
-    sigmas_expected = np.linspace(1.0, 1 / 5, 5)
-    shifted = np.exp(mu) / (np.exp(mu) + (1 / sigmas_expected - 1))
+    # base sigmas: linspace(sigma_max*T, sigma_min*T, 5)/T with unshifted
+    # sigma_max=1.0, sigma_min=1/T (reference set_timesteps step 1)
+    base = np.linspace(1000.0, 1.0, 5) / 1000.0
+    shifted = np.exp(mu) / (np.exp(mu) + (1 / base - 1))
     np.testing.assert_allclose(np.asarray(state.sigmas[:-1]), shifted, rtol=1e-5)
 
 
