@@ -279,3 +279,72 @@ class FluxPosEmbed(Module):
             cos_out.append(cos)
             sin_out.append(sin)
         return jnp.concatenate(cos_out, axis=-1), jnp.concatenate(sin_out, axis=-1)
+
+
+class PatchEmbed(Module):
+    """2D image→patch embedding with SD3-style cropped positional table
+    (reference embeddings.PatchEmbed)."""
+
+    def __init__(
+        self,
+        height: int = 224,
+        width: int = 224,
+        patch_size: int = 16,
+        in_channels: int = 3,
+        embed_dim: int = 768,
+        layer_norm: bool = False,
+        flatten: bool = True,
+        bias: bool = True,
+        interpolation_scale: float = 1,
+        pos_embed_type: str = "sincos",
+        pos_embed_max_size: Optional[int] = None,
+    ):
+        super().__init__()
+        from ..ops.module import Conv2d, LayerNorm
+
+        self.patch_size = patch_size
+        self.flatten = flatten
+        self.use_layer_norm = layer_norm
+        self.pos_embed_max_size = pos_embed_max_size
+        self.height, self.width = height // patch_size, width // patch_size
+        self.base_size = height // patch_size
+        self.interpolation_scale = interpolation_scale
+        self.proj = Conv2d(in_channels, embed_dim, kernel_size=patch_size, stride=patch_size, use_bias=bias)
+        if layer_norm:
+            self.norm = LayerNorm(embed_dim, eps=1e-6, use_scale=False, use_bias=False)
+
+        if pos_embed_type == "sincos":
+            grid_size = pos_embed_max_size if pos_embed_max_size else int((self.height * self.width) ** 0.5)
+            self.pos_embed_table = get_2d_sincos_pos_embed(
+                embed_dim, (grid_size, grid_size), base_size=self.base_size,
+                interpolation_scale=self.interpolation_scale,
+            )[None]  # [1, N, D] numpy
+        elif pos_embed_type is None:
+            self.pos_embed_table = None
+        else:
+            raise ValueError(f"unsupported pos_embed_type {pos_embed_type}")
+
+    def cropped_pos_embed(self, height: int, width: int) -> np.ndarray:
+        h = height // self.patch_size
+        w = width // self.patch_size
+        m = self.pos_embed_max_size
+        top = (m - h) // 2
+        left = (m - w) // 2
+        table = self.pos_embed_table.reshape(1, m, m, -1)
+        return table[:, top : top + h, left : left + w, :].reshape(1, h * w, -1)
+
+    def __call__(self, params: Params, latent: jax.Array) -> jax.Array:
+        """latent: [B, C, H, W] → [B, N, D]."""
+        b, c, h, w = latent.shape
+        x = jnp.transpose(latent, (0, 2, 3, 1))
+        x = self.proj(params["proj"], x)  # [B, H/p, W/p, D]
+        x = x.reshape(b, -1, x.shape[-1])
+        if self.use_layer_norm:
+            x = self.norm({}, x)
+        if self.pos_embed_table is None:
+            return x
+        if self.pos_embed_max_size is not None:
+            pos = self.cropped_pos_embed(h, w)
+        else:
+            pos = self.pos_embed_table
+        return (x + jnp.asarray(pos, dtype=x.dtype)).astype(x.dtype)

@@ -130,9 +130,10 @@ def _on_tpu() -> bool:
 
 def _auto_backend(query: jax.Array) -> str:
     # Pallas flash attention wins when the sequence is long enough to tile;
-    # head_dim must be lane-aligned. Mirrors the reference's seq>=4096 XLA gate
+    # head_dim must be 64-aligned (64 is zero-padded to the 128 lane width
+    # inside the kernel). Mirrors the reference's seq>=4096 XLA gate
     # (attention_processor.py:2790) but with TPU-tuned thresholds.
     b, s, h, d = query.shape
-    if _on_tpu() and s >= 1024 and d % 128 == 0 and s % 128 == 0:
+    if _on_tpu() and s >= 1024 and d % 64 == 0 and s % 128 == 0:
         return "pallas_flash"
     return "native"

@@ -130,13 +130,25 @@ def flash_attention(
 
     bq = min(block_q, s)
     bk = min(block_k, key.shape[1])
-    if s % bq != 0 or key.shape[1] % bk != 0 or d % 128 != 0:
+    if s % bq != 0 or key.shape[1] % bk != 0 or d % 64 != 0 or s % 128 != 0 or key.shape[1] % 128 != 0:
         from ..attention import _native_attention
 
         return _native_attention(query, key, value, scale=scale, is_causal=is_causal)
+
+    # head_dim < 128 (e.g. SD/SDXL's 64): zero-pad to the 128 lane width.
+    # Zeros in q/k leave the scores unchanged; padded v columns are sliced off.
+    pad = (-d) % 128
+    if pad:
+        padding = [(0, 0), (0, 0), (0, 0), (0, pad)]
+        query = jnp.pad(query, padding)
+        key = jnp.pad(key, padding)
+        value = jnp.pad(value, padding)
 
     q = jnp.transpose(query, (0, 2, 1, 3))
     k = jnp.transpose(key, (0, 2, 1, 3))
     v = jnp.transpose(value, (0, 2, 1, 3))
     out = _flash_attention_bhsd(q, k, v, scale=scale, is_causal=is_causal, block_q=bq, block_k=bk, interpret=interpret)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    if pad:
+        out = out[..., :d]
+    return out

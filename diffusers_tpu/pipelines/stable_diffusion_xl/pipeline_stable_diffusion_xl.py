@@ -1,0 +1,207 @@
+"""SDXL text-to-image pipeline.
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/pipelines/stable_diffusion_xl/pipeline_stable_diffusion_xl.py`):
+dual CLIP encoders (penultimate hidden states concatenated), pooled embeds
+from encoder 2, micro-conditioning time_ids. TPU-first single-scan denoise
+with CFG as batch-2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...image_processor import VaeImageProcessor
+from ...utils import BaseOutput, logging
+from ...utils.jax_utils import randn_tensor
+from ..pipeline_utils import DiffusionPipeline
+
+logger = logging.get_logger(__name__)
+
+
+@dataclass
+class StableDiffusionXLPipelineOutput(BaseOutput):
+    images: Union[List, np.ndarray]
+
+
+class StableDiffusionXLPipeline(DiffusionPipeline):
+    _optional_components = ["image_encoder", "feature_extractor"]
+
+    def __init__(
+        self,
+        vae,
+        text_encoder,
+        text_encoder_2,
+        tokenizer,
+        tokenizer_2,
+        unet,
+        scheduler,
+        image_encoder=None,
+        feature_extractor=None,
+        force_zeros_for_empty_prompt: bool = True,
+    ):
+        super().__init__()
+        self.register_modules(
+            vae=vae,
+            text_encoder=text_encoder,
+            text_encoder_2=text_encoder_2,
+            tokenizer=tokenizer,
+            tokenizer_2=tokenizer_2,
+            unet=unet,
+            scheduler=scheduler,
+            image_encoder=image_encoder,
+            feature_extractor=feature_extractor,
+        )
+        self.register_to_config(force_zeros_for_empty_prompt=force_zeros_for_empty_prompt)
+        self.vae_scale_factor = 2 ** (len(self.vae[0].config.block_out_channels) - 1) if vae is not None else 8
+        self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor)
+        self.default_sample_size = self.unet[0].config.sample_size
+
+    # ---------------------------------------------------------------- text
+    def encode_prompt(self, prompt, prompt_2=None, negative_prompt=None, negative_prompt_2=None, do_cfg=True):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        batch = len(prompt)
+        prompt_2 = prompt_2 or prompt
+        if isinstance(prompt_2, str):
+            prompt_2 = [prompt_2]
+
+        encoders = [self.text_encoder, self.text_encoder_2]
+        tokenizers = [self.tokenizer, self.tokenizer_2]
+
+        def encode(texts):
+            embeds_list = []
+            pooled = None
+            for (enc, enc_params), tok in zip(encoders, tokenizers):
+                if enc is None:
+                    continue
+                inputs = tok(texts, padding="max_length", max_length=77, truncation=True, return_tensors="np")
+                out = enc(enc_params, jnp.asarray(inputs.input_ids), output_hidden_states=True)
+                # penultimate hidden state (reference encode_prompt clip_skip=None path)
+                embeds_list.append(out.hidden_states[-2])
+                pooled = out.text_embeds if out.text_embeds is not None else out.pooler_output
+            return jnp.concatenate(embeds_list, axis=-1), pooled
+
+        prompt_embeds, pooled_prompt_embeds = encode([p1 if p1 == p2 else p1 for p1, p2 in zip(prompt, prompt_2)])
+
+        if not do_cfg:
+            return prompt_embeds, None, pooled_prompt_embeds, None
+
+        if negative_prompt is None and self.config.force_zeros_for_empty_prompt:
+            negative_embeds = jnp.zeros_like(prompt_embeds)
+            negative_pooled = jnp.zeros_like(pooled_prompt_embeds)
+        else:
+            negative_prompt = negative_prompt or ""
+            if isinstance(negative_prompt, str):
+                negative_prompt = [negative_prompt] * batch
+            negative_embeds, negative_pooled = encode(negative_prompt)
+        return prompt_embeds, negative_embeds, pooled_prompt_embeds, negative_pooled
+
+    def _get_add_time_ids(self, original_size, crops_coords_top_left, target_size, batch: int):
+        add_time_ids = list(original_size + crops_coords_top_left + target_size)
+        return jnp.asarray([add_time_ids] * batch, dtype=jnp.float32)
+
+    # ------------------------------------------------------------- denoise
+    def _denoise(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents,
+                 guidance_scale, num_inference_steps, do_cfg):
+        unet = self.unet[0]
+        scheduler = self.scheduler
+        state = scheduler.set_timesteps(num_inference_steps)
+        latents = latents * state.init_noise_sigma
+        if hasattr(scheduler, "prepare"):
+            state = scheduler.prepare(state, latents)
+
+        def step_fn(carry, t):
+            latents, sstate = carry
+            latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+            latent_input = scheduler.scale_model_input(sstate, latent_input, t)
+            noise_pred = unet(
+                unet_params,
+                latent_input,
+                jnp.broadcast_to(t, (latent_input.shape[0],)),
+                encoder_hidden_states=prompt_embeds,
+                added_cond_kwargs={"text_embeds": add_text_embeds, "time_ids": add_time_ids},
+            ).sample
+            if do_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            out = scheduler.step(sstate, noise_pred, t, latents)
+            return (out.prev_sample, out.state), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), state.timesteps)
+        return latents
+
+    # ------------------------------------------------------------ __call__
+    def __call__(
+        self,
+        prompt: Union[str, List[str]] = None,
+        prompt_2: Optional[Union[str, List[str]]] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        negative_prompt: Optional[Union[str, List[str]]] = None,
+        negative_prompt_2: Optional[Union[str, List[str]]] = None,
+        num_images_per_prompt: int = 1,
+        key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+        output_type: str = "pil",
+        return_dict: bool = True,
+    ):
+        unet, unet_params = self.unet
+        vae, vae_params = self.vae
+        height = height or self.default_sample_size * self.vae_scale_factor
+        width = width or self.default_sample_size * self.vae_scale_factor
+        original_size = original_size or (height, width)
+        target_size = target_size or (height, width)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        do_cfg = guidance_scale > 1.0
+        prompt_embeds, negative_embeds, pooled, negative_pooled = self.encode_prompt(
+            prompt, prompt_2, negative_prompt, negative_prompt_2, do_cfg
+        )
+        batch_size = prompt_embeds.shape[0] * num_images_per_prompt
+        if num_images_per_prompt != 1:
+            prompt_embeds = jnp.repeat(prompt_embeds, num_images_per_prompt, axis=0)
+            pooled = jnp.repeat(pooled, num_images_per_prompt, axis=0)
+            if do_cfg:
+                negative_embeds = jnp.repeat(negative_embeds, num_images_per_prompt, axis=0)
+                negative_pooled = jnp.repeat(negative_pooled, num_images_per_prompt, axis=0)
+
+        add_time_ids = self._get_add_time_ids(original_size, crops_coords_top_left, target_size, batch_size)
+        if do_cfg:
+            prompt_embeds = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
+            add_text_embeds = jnp.concatenate([negative_pooled, pooled], axis=0)
+            add_time_ids = jnp.concatenate([add_time_ids, add_time_ids], axis=0)
+        else:
+            add_text_embeds = pooled
+
+        shape = (batch_size, unet.config.in_channels, height // self.vae_scale_factor, width // self.vae_scale_factor)
+        if latents is None:
+            latents = randn_tensor(shape, key=key)
+
+        denoise = jax.jit(
+            partial(self._denoise, guidance_scale=guidance_scale, num_inference_steps=num_inference_steps, do_cfg=do_cfg)
+        )
+        latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents)
+
+        if output_type == "latent":
+            image = latents
+        else:
+            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            image = decode(vae_params, latents)
+            image = self.image_processor.postprocess(image, output_type=output_type)
+
+        if not return_dict:
+            return (image,)
+        return StableDiffusionXLPipelineOutput(images=image)
