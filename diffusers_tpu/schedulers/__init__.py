@@ -22,3 +22,7 @@ from .scheduling_flow_match_euler_discrete import (
     calculate_shift,
 )
 from .scheduling_utils import KarrasDiffusionSchedulers, SchedulerMixin, SchedulerOutput
+from .scheduling_heun_discrete import HeunDiscreteScheduler, HeunDiscreteSchedulerOutput, HeunDiscreteSchedulerState
+from .scheduling_lcm import LCMScheduler, LCMSchedulerOutput, LCMSchedulerState
+from .scheduling_lms_discrete import LMSDiscreteScheduler, LMSDiscreteSchedulerOutput, LMSDiscreteSchedulerState
+from .scheduling_pndm import PNDMScheduler, PNDMSchedulerOutput, PNDMSchedulerState

@@ -1,0 +1,147 @@
+"""Cross-check functional schedulers against the torch reference
+implementations on identical full loops (10 steps, deterministic model)."""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference/src")
+
+
+def dummy_sample_deter():
+    batch_size, num_channels, height, width = 4, 3, 8, 8
+    num_elems = batch_size * num_channels * height * width
+    sample = np.arange(num_elems, dtype=np.float32)
+    return (sample.reshape(num_channels, height, width, batch_size) / num_elems).transpose(3, 0, 1, 2)
+
+
+def run_reference(torch_cls, config, num_steps=10, scale_input=False):
+    import torch
+
+    sch = torch_cls(**config)
+    sch.set_timesteps(num_steps)
+    sample = torch.from_numpy(dummy_sample_deter())
+    if scale_input:
+        sample = sample * sch.init_noise_sigma
+    for t in sch.timesteps:
+        inp = sch.scale_model_input(sample, t)
+        residual = inp * t / (t + 1)
+        sample = sch.step(residual, t, sample).prev_sample
+    return sample.numpy()
+
+
+def run_ours(cls, config, num_steps=10, scale_input=False):
+    sch = cls(**config)
+    state = sch.set_timesteps(num_steps)
+    sample = jnp.asarray(dummy_sample_deter())
+    if scale_input:
+        sample = sample * state.init_noise_sigma
+    for t in np.asarray(state.timesteps):
+        inp = sch.scale_model_input(state, sample, t)
+        residual = inp * t / (t + 1)
+        out = sch.step(state, residual, t, sample)
+        sample = out.prev_sample
+        state = out.state if out.state is not None else state
+    return np.asarray(sample)
+
+
+def test_pndm_plms_matches_reference():
+    from diffusers import PNDMScheduler as TorchPNDM
+
+    from diffusers_tpu.schedulers import PNDMScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear", skip_prk_steps=True,
+               set_alpha_to_one=False, steps_offset=1)
+    ref = run_reference(TorchPNDM, cfg)
+    ours = run_ours(PNDMScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_lms_matches_reference():
+    from diffusers import LMSDiscreteScheduler as TorchLMS
+
+    from diffusers_tpu.schedulers import LMSDiscreteScheduler
+
+    cfg = dict(beta_start=0.0001, beta_end=0.02, beta_schedule="linear")
+    ref = run_reference(TorchLMS, cfg, scale_input=True)
+    ours = run_ours(LMSDiscreteScheduler, cfg, scale_input=True)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_heun_matches_reference():
+    from diffusers import HeunDiscreteScheduler as TorchHeun
+
+    from diffusers_tpu.schedulers import HeunDiscreteScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    ref = run_reference(TorchHeun, cfg, scale_input=True)
+    ours = run_ours(HeunDiscreteScheduler, cfg, scale_input=True)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_lcm_matches_reference():
+    import torch
+
+    from diffusers import LCMScheduler as TorchLCM
+
+    from diffusers_tpu.schedulers import LCMScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    num_steps = 4
+
+    sch_t = TorchLCM(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sample_t = torch.from_numpy(dummy_sample_deter())
+    gen = torch.manual_seed(0)
+    noises = []
+    for t in sch_t.timesteps:
+        residual = sample_t * t / (t + 1)
+        noises.append(torch.randn(sample_t.shape, generator=gen))
+        # inject the same noise stream by temporarily monkey-patching? Instead
+        # compare deterministic final step only: run with generator
+        sample_t = sch_t.step(residual, t, sample_t, generator=torch.manual_seed(42)).prev_sample
+    ref = sample_t.numpy()
+
+    sch = LCMScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    sample = jnp.asarray(dummy_sample_deter())
+    for t in np.asarray(state.timesteps):
+        residual = sample * t / (t + 1)
+        noise = jnp.asarray(torch.randn(tuple(sample.shape), generator=torch.manual_seed(42)).numpy())
+        out = sch.step(state, residual, t, sample, variance_noise=noise)
+        sample = out.prev_sample
+    ours = np.asarray(sample)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_euler_ancestral_matches_reference():
+    import torch
+
+    from diffusers import EulerAncestralDiscreteScheduler as TorchEA
+
+    from diffusers_tpu.schedulers import EulerAncestralDiscreteScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    num_steps = 10
+
+    sch_t = TorchEA(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sample_t = torch.from_numpy(dummy_sample_deter()) * sch_t.init_noise_sigma
+    for t in sch_t.timesteps:
+        inp = sch_t.scale_model_input(sample_t, t)
+        residual = inp * t / (t + 1)
+        sample_t = sch_t.step(residual, t, sample_t, generator=torch.manual_seed(7)).prev_sample
+    ref = sample_t.numpy()
+
+    sch = EulerAncestralDiscreteScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    sample = jnp.asarray(dummy_sample_deter()) * state.init_noise_sigma
+    for t in np.asarray(state.timesteps):
+        inp = sch.scale_model_input(state, sample, t)
+        residual = inp * t / (t + 1)
+        noise = jnp.asarray(torch.randn(tuple(sample.shape), generator=torch.manual_seed(7)).numpy())
+        sample = sch.step(state, residual, t, sample, variance_noise=noise).prev_sample
+    ours = np.asarray(sample)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
