@@ -1,0 +1,202 @@
+"""LoRA loading & fusing.
+
+TPU-native counterpart of the reference LoRA stack
+(`/root/reference/src/diffusers/loaders/peft.py:57` PeftAdapterMixin,
+`lora_base.py:478`, format converters in `lora_conversion_utils.py`).
+
+Design: with pure-functional params there is no module surgery — a LoRA is
+fused as a weight delta: ``W' = W + scale * (α/r) · (B·A)ᵀ`` (transposed into
+our [in, out] Linear layout). Fusing is a one-time pytree map, so the hot
+path is untouched (the reference's runtime-hooked LoRA costs a second matmul
+per layer). `unfuse` is the caller keeping the original params pytree.
+
+Supported checkpoint formats:
+  * diffusers/PEFT: ``<path>.lora_A.weight`` / ``<path>.lora_B.weight``
+    (optionally prefixed ``transformer.``/``unet.``/``text_encoder.``)
+  * kohya-ss: ``lora_unet_<path with _>.lora_up/lora_down.weight`` + ``alpha``
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import logging
+
+logger = logging.get_logger(__name__)
+
+_COMPONENT_PREFIXES = ("transformer.", "unet.", "text_encoder.", "text_encoder_2.")
+
+
+def _strip_prefix(key: str) -> str:
+    for p in _COMPONENT_PREFIXES:
+        if key.startswith(p):
+            return key[len(p):]
+    return key
+
+
+def convert_kohya_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """kohya-ss naming → diffusers naming (subset: unet + text encoder linears).
+
+    kohya: ``lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight``
+    """
+    out = {}
+    for key, value in state_dict.items():
+        if ".alpha" in key or key.endswith("alpha"):
+            base = key.replace(".alpha", "")
+            out[_kohya_path(base) + ".alpha"] = value
+            continue
+        if ".lora_down.weight" in key:
+            base = key.replace(".lora_down.weight", "")
+            out[_kohya_path(base) + ".lora_A.weight"] = value
+        elif ".lora_up.weight" in key:
+            base = key.replace(".lora_up.weight", "")
+            out[_kohya_path(base) + ".lora_B.weight"] = value
+        else:
+            out[key] = value
+    return out
+
+
+def _kohya_path(base: str) -> str:
+    if base.startswith("lora_unet_"):
+        prefix, rest = "unet.", base[len("lora_unet_"):]
+    elif base.startswith("lora_te_"):
+        prefix, rest = "text_encoder.", base[len("lora_te_"):]
+    elif base.startswith("lora_te1_"):
+        prefix, rest = "text_encoder.", base[len("lora_te1_"):]
+    elif base.startswith("lora_te2_"):
+        prefix, rest = "text_encoder_2.", base[len("lora_te2_"):]
+    else:
+        return base
+    # underscores between path segments become dots except inside known
+    # multi-word module names
+    rest = rest.replace("_", ".")
+    words = [
+        "single.transformer.blocks", "transformer.blocks", "down.blocks", "up.blocks", "mid.block",
+        "attentions", "resnets", "to.add.out", "to.q", "to.k", "to.v", "to.out", "proj.in", "proj.out",
+        "ff.net", "text.model", "self.attn", "q.proj", "k.proj", "v.proj", "out.proj", "encoder.layers",
+        "conv.shortcut", "time.emb.proj", "conv.in", "conv.out", "proj.mlp", "x.embedder",
+        "context.embedder", "add.q.proj", "add.k.proj", "add.v.proj",
+    ]
+    # longest-first so nested names (single.transformer.blocks) win
+    for word in sorted(words, key=len, reverse=True):
+        rest = rest.replace(word, word.replace(".", "_"))
+    return prefix + rest
+
+
+def group_lora_weights(
+    state_dict: Dict[str, np.ndarray], component: Optional[str] = None
+) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[float]]]:
+    """Group flat lora keys into {module_path: (A, B, alpha)}; filters to the
+    given component prefix (e.g. 'unet', 'transformer')."""
+    if any(".lora_down." in k or ".lora_up." in k for k in state_dict):
+        state_dict = convert_kohya_lora(state_dict)
+
+    grouped: Dict[str, dict] = {}
+    for key, value in state_dict.items():
+        if key.endswith(".alpha"):
+            path, leaf = key[: -len(".alpha")], "alpha"
+        elif key.endswith(".lora_A.weight") or key.endswith(".lora_A.default.weight"):
+            path, leaf = re.sub(r"\.lora_A(\.default)?\.weight$", "", key), "A"
+        elif key.endswith(".lora_B.weight") or key.endswith(".lora_B.default.weight"):
+            path, leaf = re.sub(r"\.lora_B(\.default)?\.weight$", "", key), "B"
+        else:
+            continue
+        if component is not None:
+            if not path.startswith(component + "."):
+                continue
+            path = path[len(component) + 1:]
+        else:
+            path = _strip_prefix(path)
+        grouped.setdefault(path, {})[leaf] = value
+
+    out = {}
+    for path, parts in grouped.items():
+        if "A" not in parts or "B" not in parts:
+            logger.warning(f"incomplete LoRA pair at {path}; skipping")
+            continue
+        alpha = float(parts["alpha"]) if "alpha" in parts else None
+        out[path] = (np.asarray(parts["A"]), np.asarray(parts["B"]), alpha)
+    return out
+
+
+def _get_nested(tree, path_parts):
+    node = tree
+    for p in path_parts:
+        if isinstance(node, dict) and p in node:
+            node = node[p]
+        elif isinstance(node, dict) and p.isdigit() and int(p) in node:
+            node = node[int(p)]
+        else:
+            return None
+    return node
+
+
+def _set_nested_inplace(tree, path_parts, value):
+    node = tree
+    for p in path_parts[:-1]:
+        node = node[p] if not (isinstance(p, str) and p.isdigit() and p not in node) else node[int(p)]
+        # normalize digit keys
+    last = path_parts[-1]
+    if isinstance(last, str) and last.isdigit() and last not in node:
+        last = int(last)
+    node[last] = value
+
+
+def fuse_lora(
+    params,
+    lora_weights: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[float]]],
+    scale: float = 1.0,
+):
+    """Return a new params pytree with LoRA deltas fused into Linear kernels.
+
+    A: [r, in] (torch layout), B: [out, r]; ours is kernel [in, out], so the
+    fused delta is ``scale * (α/r) * (B @ A).T``.
+    """
+    import copy
+
+    new_params = jax.tree.map(lambda x: x, params)  # shallow-copy tree structure
+    # deep-copy dict structure so in-place set doesn't alias the input
+    def deep_copy_dicts(d):
+        if isinstance(d, dict):
+            return {k: deep_copy_dicts(v) for k, v in d.items()}
+        return d
+
+    new_params = deep_copy_dicts(new_params)
+
+    fused, missed = 0, []
+    for path, (A, B, alpha) in lora_weights.items():
+        parts = [int(p) if p.isdigit() else p for p in path.split(".")]
+        leaf_tree = _get_nested(new_params, parts)
+        if leaf_tree is None or "kernel" not in leaf_tree:
+            missed.append(path)
+            continue
+        r = A.shape[0]
+        eff_scale = scale * ((alpha / r) if alpha is not None else 1.0)
+        delta = (B.astype(np.float32) @ A.astype(np.float32)).T * eff_scale
+        kernel = leaf_tree["kernel"]
+        leaf_tree["kernel"] = (kernel.astype(jnp.float32) + jnp.asarray(delta)).astype(kernel.dtype)
+        fused += 1
+    if missed:
+        logger.warning(f"{len(missed)} LoRA modules had no matching param path, e.g. {missed[:5]}")
+    logger.info(f"fused {fused} LoRA modules at scale {scale}")
+    return new_params
+
+
+def load_lora_weights(path_or_state_dict, params, component: Optional[str] = None, scale: float = 1.0):
+    """Load a LoRA safetensors file (or state dict) and fuse into `params`."""
+    if isinstance(path_or_state_dict, (str,)):
+        from safetensors import safe_open
+
+        sd = {}
+        with safe_open(path_or_state_dict, framework="numpy") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    else:
+        sd = path_or_state_dict
+    grouped = group_lora_weights(sd, component=component)
+    return fuse_lora(params, grouped, scale=scale)
