@@ -3,10 +3,52 @@
 Brand-new implementation with the capability surface of huggingface/diffusers
 (reference mounted at /root/reference), re-architected for TPU: pure-functional
 models over parameter pytrees, schedulers as scan-able state machines, fused
-denoise loops under a single jit, and GSPMD sharding for multi-chip scale.
+denoise loops under a single jit, Pallas kernels for the hot attention paths,
+and GSPMD sharding for multi-chip scale.
 """
 
 __version__ = "0.1.0"
 
 from .configuration_utils import ConfigMixin, FrozenDict, register_to_config
 from .utils import BaseOutput, logging
+
+# models
+from .models.attention import Attention
+from .models.autoencoders.autoencoder_kl import AutoencoderKL
+from .models.modeling_utils import ModelMixin
+from .models.text_encoders.clip import CLIPTextModel, CLIPTextModelWithProjection
+from .models.text_encoders.t5 import T5EncoderModel
+from .models.transformers.transformer_flux import FluxTransformer2DModel
+from .models.transformers.transformer_sd3 import SD3Transformer2DModel
+from .models.unets.unet_2d import UNet2DModel
+from .models.unets.unet_2d_condition import UNet2DConditionModel
+
+# schedulers
+from .schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverMultistepScheduler,
+    EulerAncestralDiscreteScheduler,
+    EulerDiscreteScheduler,
+    FlowMatchEulerDiscreteScheduler,
+    HeunDiscreteScheduler,
+    KarrasDiffusionSchedulers,
+    LCMScheduler,
+    LMSDiscreteScheduler,
+    PNDMScheduler,
+    SchedulerMixin,
+)
+
+# pipelines
+from .pipelines.auto_pipeline import AutoPipelineForImage2Image, AutoPipelineForText2Image
+from .pipelines.ddpm.pipeline_ddpm import DDPMPipeline
+from .pipelines.flux.pipeline_flux import FluxPipeline
+from .pipelines.pipeline_utils import DiffusionPipeline
+from .pipelines.stable_diffusion.pipeline_stable_diffusion import StableDiffusionPipeline
+from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl import StableDiffusionXLPipeline
+
+# guiders
+from .guiders import AdaptiveProjectedGuidance, ClassifierFreeGuidance, ClassifierFreeZeroStarGuidance
+
+# processors
+from .image_processor import VaeImageProcessor
