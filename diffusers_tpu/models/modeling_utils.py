@@ -58,6 +58,8 @@ CONFIG_NAME = "config.json"
 
 def _leaf_convert_from_torch(leaf: Module, pname: str, tensor: np.ndarray):
     """(param_name, array) in our convention for a torch leaf tensor."""
+    if hasattr(leaf, "convert_torch_param"):  # model-specific leaf override
+        return leaf.convert_torch_param(pname, tensor)
     if isinstance(leaf, Linear):
         if pname == "weight":
             return "kernel", tensor.T
@@ -82,6 +84,8 @@ def _leaf_convert_from_torch(leaf: Module, pname: str, tensor: np.ndarray):
 
 
 def _leaf_convert_to_torch(leaf: Module, pname: str, array: np.ndarray):
+    if hasattr(leaf, "convert_param_to_torch"):
+        return leaf.convert_param_to_torch(pname, array)
     if isinstance(leaf, Linear) and pname == "kernel":
         return "weight", array.T
     if isinstance(leaf, Conv2d) and pname == "kernel":
