@@ -26,3 +26,8 @@ from .scheduling_heun_discrete import HeunDiscreteScheduler, HeunDiscreteSchedul
 from .scheduling_lcm import LCMScheduler, LCMSchedulerOutput, LCMSchedulerState
 from .scheduling_lms_discrete import LMSDiscreteScheduler, LMSDiscreteSchedulerOutput, LMSDiscreteSchedulerState
 from .scheduling_pndm import PNDMScheduler, PNDMSchedulerOutput, PNDMSchedulerState
+from .scheduling_unipc_multistep import (
+    UniPCMultistepScheduler,
+    UniPCMultistepSchedulerOutput,
+    UniPCMultistepSchedulerState,
+)

@@ -362,11 +362,10 @@ class DPMSolverMultistepScheduler(SchedulerMixin, ConfigMixin):
         if self.config.solver_order == 1:
             prev_sample = first
         else:
-            lower_order_second = (
-                (idx == S - 2) & self.config.lower_order_final & (S < 15)
-            )
             second = self._second_order_update(state, model_outputs, sample_f, idx, noise)
-            use_first = (idx < 1) | lower_order_final | lower_order_second
+            # (reference step `:1260`: first order iff warm-up or lower_order_final;
+            # lower_order_second only demotes third→second, irrelevant at order 2)
+            use_first = (idx < 1) | lower_order_final
             prev_sample = jnp.where(use_first, first, second)
 
         prev_sample = prev_sample.astype(model_output.dtype)

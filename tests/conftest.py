@@ -17,3 +17,6 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 import jax  # noqa: E402  (import after env setup, before any test imports it)
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon sitecustomize force-selects the TPU platform after env resolution;
+# override via config so hermetic tests run on the virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")

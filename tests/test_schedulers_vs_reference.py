@@ -145,3 +145,36 @@ def test_euler_ancestral_matches_reference():
         sample = sch.step(state, residual, t, sample, variance_noise=noise).prev_sample
     ours = np.asarray(sample)
     assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_unipc_matches_reference():
+    from diffusers import UniPCMultistepScheduler as TorchUniPC
+
+    from diffusers_tpu.schedulers import UniPCMultistepScheduler
+
+    cfg = dict(beta_start=0.0001, beta_end=0.02, beta_schedule="linear", solver_order=2)
+    ref = run_reference(TorchUniPC, cfg)
+    ours = run_ours(UniPCMultistepScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_unipc_flow_sigmas_matches_reference():
+    from diffusers import UniPCMultistepScheduler as TorchUniPC
+
+    from diffusers_tpu.schedulers import UniPCMultistepScheduler
+
+    cfg = dict(prediction_type="flow_prediction", use_flow_sigmas=True, flow_shift=3.0, solver_order=2)
+    ref = run_reference(TorchUniPC, cfg)
+    ours = run_ours(UniPCMultistepScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_dpm_flow_sigmas_matches_reference():
+    from diffusers import DPMSolverMultistepScheduler as TorchDPM
+
+    from diffusers_tpu.schedulers import DPMSolverMultistepScheduler
+
+    cfg = dict(prediction_type="flow_prediction", use_flow_sigmas=True, flow_shift=3.0, solver_order=2)
+    ref = run_reference(TorchDPM, cfg)
+    ours = run_ours(DPMSolverMultistepScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
