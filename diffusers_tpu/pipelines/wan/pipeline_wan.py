@@ -1,0 +1,152 @@
+"""Wan text-to-video pipeline.
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/pipelines/wan/pipeline_wan.py`): UMT5 text
+encoding (mask-zeroed), CFG batch-2, flow-matching denoise over
+[B, C, 1+(F-1)/4, H/8, W/8] latents, latent de-normalization with the VAE's
+per-channel latents_mean/std, causal-VAE decode. Single scanned jitted loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import BaseOutput, logging
+from ...utils.jax_utils import randn_tensor
+from ..pipeline_utils import DiffusionPipeline
+
+logger = logging.get_logger(__name__)
+
+
+@dataclass
+class WanPipelineOutput(BaseOutput):
+    frames: Union[List, np.ndarray]
+
+
+class WanPipeline(DiffusionPipeline):
+    def __init__(self, tokenizer, text_encoder, transformer, vae, scheduler):
+        super().__init__()
+        self.register_modules(
+            vae=vae, text_encoder=text_encoder, tokenizer=tokenizer, transformer=transformer, scheduler=scheduler
+        )
+        self.vae_scale_factor_temporal = vae[0].config.scale_factor_temporal if vae is not None else 4
+        self.vae_scale_factor_spatial = vae[0].config.scale_factor_spatial if vae is not None else 8
+
+    def _get_t5_prompt_embeds(self, prompt: List[str], max_sequence_length: int = 226):
+        text_encoder, te_params = self.text_encoder
+        inputs = self.tokenizer(
+            prompt,
+            padding="max_length",
+            max_length=max_sequence_length,
+            truncation=True,
+            return_tensors="np",
+        )
+        ids = jnp.asarray(inputs.input_ids)
+        mask = jnp.asarray(inputs.attention_mask) if hasattr(inputs, "attention_mask") else (ids != 0).astype(jnp.int32)
+        embeds = text_encoder(te_params, ids, attention_mask=mask).last_hidden_state
+        # zero out positions beyond each prompt's length (reference encode_prompt)
+        return embeds * mask[..., None].astype(embeds.dtype)
+
+    def encode_prompt(self, prompt, negative_prompt=None, do_cfg=True, max_sequence_length: int = 226):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        prompt_embeds = self._get_t5_prompt_embeds(prompt, max_sequence_length)
+        if not do_cfg:
+            return prompt_embeds, None
+        negative_prompt = negative_prompt or ""
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompt)
+        negative_embeds = self._get_t5_prompt_embeds(negative_prompt, max_sequence_length)
+        return prompt_embeds, negative_embeds
+
+    def _denoise(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
+                 timesteps, state, guidance_scale, do_cfg):
+        transformer = self.transformer[0]
+        scheduler = self.scheduler
+
+        def step_fn(carry, t):
+            latents, sstate = carry
+            timestep = jnp.broadcast_to(t, (latents.shape[0],))
+            noise_cond = transformer(
+                t_params, latents, timestep, prompt_embeds, rotary_emb=(rope_cos, rope_sin)
+            ).sample
+            if do_cfg:
+                noise_uncond = transformer(
+                    t_params, latents, timestep, negative_embeds, rotary_emb=(rope_cos, rope_sin)
+                ).sample
+                noise_pred = noise_uncond + guidance_scale * (noise_cond - noise_uncond)
+            else:
+                noise_pred = noise_cond
+            out = scheduler.step(sstate, noise_pred, t, latents)
+            return (out.prev_sample, out.state), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
+        return latents
+
+    def __call__(
+        self,
+        prompt: Union[str, List[str]] = None,
+        negative_prompt: Optional[Union[str, List[str]]] = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        max_sequence_length: int = 226,
+        output_type: str = "np",
+        return_dict: bool = True,
+    ):
+        transformer, t_params = self.transformer
+        vae, vae_params = self.vae
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        do_cfg = guidance_scale > 1.0
+        prompt_embeds, negative_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg, max_sequence_length)
+        batch_size = prompt_embeds.shape[0]
+
+        num_channels_latents = transformer.config.in_channels
+        num_latent_frames = (num_frames - 1) // self.vae_scale_factor_temporal + 1
+        lh = height // self.vae_scale_factor_spatial
+        lw = width // self.vae_scale_factor_spatial
+        shape = (batch_size, num_channels_latents, num_latent_frames, lh, lw)
+        if latents is None:
+            latents = randn_tensor(shape, key=key)
+
+        rope_cos, rope_sin = transformer.rope(num_latent_frames, lh, lw)
+
+        if hasattr(self.scheduler, "set_timesteps"):
+            try:
+                state = self.scheduler.set_timesteps(num_inference_steps, sample_shape=shape)
+            except TypeError:
+                state = self.scheduler.set_timesteps(num_inference_steps)
+
+        denoise = jax.jit(partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg))
+        latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
+                          state.timesteps, state)
+
+        if output_type == "latent":
+            video = latents
+        else:
+            # de-normalize with the VAE's channelwise latent statistics
+            lm = vae.config.get("latents_mean")
+            ls = vae.config.get("latents_std")
+            if lm is not None and ls is not None:
+                # reference: latents / (1/std) + mean == latents * std + mean
+                mean = jnp.asarray(lm).reshape(1, -1, 1, 1, 1)
+                std = jnp.asarray(ls).reshape(1, -1, 1, 1, 1)
+                latents = latents * std + mean
+            video = jax.jit(lambda p, z: vae.decode(p, z).sample)(vae_params, latents)
+            video = np.asarray(jnp.transpose(jnp.clip(video / 2 + 0.5, 0, 1), (0, 2, 3, 4, 1)))
+
+        if not return_dict:
+            return (video,)
+        return WanPipelineOutput(frames=video)
