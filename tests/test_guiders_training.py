@@ -42,13 +42,19 @@ def test_cfg_zero_star_zero_init():
     assert np.abs(np.asarray(out1)).max() > 0
 
 
-def test_apg_runs_and_differs_from_cfg():
-    g = AdaptiveProjectedGuidance(guidance_scale=5.0)
-    cfg = ClassifierFreeGuidance(guidance_scale=5.0)
+def test_apg_matches_cfg_at_eta_1_and_differs_below():
+    # with eta=1 and no norm clipping, the projection sums back to the raw diff
     cond = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
     uncond = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8))
-    a = g(cond, uncond, step=1, num_steps=10)
+    cfg = ClassifierFreeGuidance(guidance_scale=5.0)
     b = cfg(cond, uncond, step=1, num_steps=10)
+
+    g1 = AdaptiveProjectedGuidance(guidance_scale=5.0, eta=1.0, adaptive_projected_guidance_rescale=0.0)
+    np.testing.assert_allclose(np.asarray(g1(cond, uncond, step=1, num_steps=10)), np.asarray(b), atol=1e-5)
+
+    # eta < 1 down-weights the parallel component -> differs from CFG
+    g2 = AdaptiveProjectedGuidance(guidance_scale=5.0, eta=0.0, adaptive_projected_guidance_rescale=0.0)
+    a = g2(cond, uncond, step=1, num_steps=10)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
 
 
