@@ -126,7 +126,10 @@ class Linear(Module):
         return params
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
-        y = x @ params["kernel"].astype(x.dtype)
+        kernel = params["kernel"]
+        if "kernel_scale" in params:  # weight-only quantized (int8/fp8)
+            kernel = kernel.astype(x.dtype) * params["kernel_scale"].astype(x.dtype)[None, :]
+        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             y = y + params["bias"].astype(x.dtype)
         return y

@@ -1,0 +1,40 @@
+"""Quantization configs.
+
+TPU-native counterpart of the reference quantizer stack
+(`/root/reference/src/diffusers/quantizers/base.py:34` DiffusersQuantizer ABC +
+bnb/gguf/torchao backends). On TPU the useful regimes are weight-only int8
+(per-output-channel symmetric) and fp8-e4m3 — both halve (or quarter) HBM
+weight traffic and dequantize for free inside the matmul fusion; there is no
+CUDA-kernel dependency to bind to.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class QuantizationConfig:
+    """Base: which modules to convert."""
+
+    modules_to_not_convert: List[str] = field(default_factory=list)
+    min_weight_size: int = 4096  # skip tiny layers (norm-adjacent projections)
+
+    quant_method = "none"
+
+
+@dataclass
+class Int8WeightOnlyConfig(QuantizationConfig):
+    """Per-output-channel symmetric int8 weights, bf16 activations."""
+
+    quant_method = "int8_weight_only"
+
+
+@dataclass
+class Fp8WeightOnlyConfig(QuantizationConfig):
+    """fp8-e4m3 weights with per-channel scale, bf16 compute (the TPU-native
+    analogue of the reference's enable_layerwise_casting fp8 storage,
+    `models/modeling_utils.py:439`)."""
+
+    quant_method = "fp8_weight_only"

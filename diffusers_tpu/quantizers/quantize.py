@@ -1,0 +1,78 @@
+"""Weight-only quantization over parameter pytrees.
+
+Quantized Linear kernels are stored as ``{"kernel": int8/fp8 [in, out],
+"kernel_scale": f32 [out], ...}``; `ops.module.Linear` dequantizes inline
+(one multiply fused into the matmul's epilogue by XLA), so no module surgery
+is needed — mirroring how the reference's quantizers hook `from_pretrained`
+(`quantizers/base.py:34` lifecycle) but with zero runtime dispatch cost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import logging
+from .quantization_config import Fp8WeightOnlyConfig, Int8WeightOnlyConfig, QuantizationConfig
+
+logger = logging.get_logger(__name__)
+
+
+def _quantize_kernel_int8(kernel: jax.Array):
+    """[in, out] → int8 kernel + per-out-channel scale."""
+    k = np.asarray(kernel, dtype=np.float32)
+    absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)  # [out]
+    scale = (absmax / 127.0).astype(np.float32)
+    q = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scale)
+
+
+def _quantize_kernel_fp8(kernel: jax.Array):
+    k = np.asarray(kernel, dtype=np.float32)
+    absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)
+    scale = (absmax / 448.0).astype(np.float32)  # e4m3 max normal
+    q = jnp.asarray((k / scale[None, :]), dtype=jnp.float8_e4m3fn)
+    return q, jnp.asarray(scale)
+
+
+def quantize_params(params, config: QuantizationConfig, path: str = ""):
+    """Return a new pytree with eligible Linear kernels quantized."""
+    if isinstance(params, dict):
+        # a Linear leaf-dict has a 2D "kernel" (conv kernels are 4/5-D)
+        if "kernel" in params and not isinstance(params["kernel"], dict) and params["kernel"].ndim == 2:
+            kernel = params["kernel"]
+            skip = any(m in path for m in config.modules_to_not_convert)
+            if not skip and kernel.size >= config.min_weight_size:
+                if isinstance(config, Int8WeightOnlyConfig):
+                    q, scale = _quantize_kernel_int8(kernel)
+                elif isinstance(config, Fp8WeightOnlyConfig):
+                    q, scale = _quantize_kernel_fp8(kernel)
+                else:
+                    return params
+                new = dict(params)
+                new["kernel"] = q
+                new["kernel_scale"] = scale
+                return new
+            return params
+        return {
+            k: quantize_params(v, config, f"{path}.{k}" if path else str(k)) if isinstance(v, dict) else v
+            for k, v in params.items()
+        }
+    return params
+
+
+def dequantize_params(params):
+    """Materialize quantized kernels back to float (for save/inspection)."""
+    if isinstance(params, dict):
+        if "kernel_scale" in params:
+            new = dict(params)
+            new["kernel"] = (
+                params["kernel"].astype(jnp.float32) * params["kernel_scale"][None, :]
+            )
+            del new["kernel_scale"]
+            return new
+        return {k: dequantize_params(v) if isinstance(v, dict) else v for k, v in params.items()}
+    return params
