@@ -1,0 +1,69 @@
+"""Ring/Ulysses/USP sequence-parallel attention vs single-device ground truth
+on the 8-virtual-device CPU mesh (the reference tests CP by spawning
+processes and comparing to single-process output,
+`tests/models/testing_utils/parallelism.py:44-120` — same oracle here)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from diffusers_tpu.ops.attention import dispatch_attention_fn
+from diffusers_tpu.parallel.context_parallel import (
+    make_ring_attention,
+    make_ulysses_attention,
+    unified_sp_attention,
+)
+
+
+def _qkv(b=2, s=64, h=8, d=16):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return (
+        jax.random.normal(k1, (b, s, h, d), jnp.float32),
+        jax.random.normal(k2, (b, s, h, d), jnp.float32),
+        jax.random.normal(k3, (b, s, h, d), jnp.float32),
+    )
+
+
+def _mesh(shape, names):
+    devs = np.asarray(jax.devices("cpu")[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def test_ring_attention_matches_full():
+    q, k, v = _qkv()
+    ref = dispatch_attention_fn(q, k, v, backend="native")
+    mesh = _mesh((4,), ("sequence",))
+    with mesh:
+        out = jax.jit(make_ring_attention(mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_ulysses_attention_matches_full():
+    q, k, v = _qkv()
+    ref = dispatch_attention_fn(q, k, v, backend="native")
+    mesh = _mesh((4,), ("sequence",))
+    with mesh:
+        out = jax.jit(make_ulysses_attention(mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_unified_sp_matches_full():
+    q, k, v = _qkv(s=64, h=8)
+    ref = dispatch_attention_fn(q, k, v, backend="native")
+    mesh = _mesh((2, 2), ("ring", "ulysses"))
+    spec = P(None, ("ring", "ulysses"), None, None)
+    fn = shard_map(
+        functools.partial(unified_sp_attention, ring_axis="ring", ulysses_axis="ulysses"),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    with mesh:
+        out = jax.jit(fn)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
