@@ -116,7 +116,7 @@ def make_ring_attention(mesh: Mesh, axis_name: str = "sequence"):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def fn(q, k, v):
         return ring_attention(q, k, v, axis_name)
@@ -132,7 +132,7 @@ def make_ulysses_attention(mesh: Mesh, axis_name: str = "sequence"):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def fn(q, k, v):
         return ulysses_attention(q, k, v, axis_name)

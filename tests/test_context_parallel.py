@@ -62,7 +62,7 @@ def test_unified_sp_matches_full():
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     with mesh:
         out = jax.jit(fn)(q, k, v)
