@@ -268,6 +268,8 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         attention_mask: Optional[jax.Array] = None,
         added_cond_kwargs: Optional[Dict[str, jax.Array]] = None,
         encoder_attention_mask: Optional[jax.Array] = None,
+        down_block_additional_residuals: Optional[Tuple[jax.Array, ...]] = None,
+        mid_block_additional_residual: Optional[jax.Array] = None,
         return_dict: bool = True,
     ) -> Union[UNet2DConditionOutput, tuple]:
         if self.config.center_input_sample:
@@ -329,6 +331,13 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                 sample, res_samples = block(params["down_blocks"][i], sample, temb=emb)
             down_block_res_samples += res_samples
 
+        # 3.5 ControlNet residuals (public contract is NCHW; internals NHWC)
+        if down_block_additional_residuals is not None:
+            down_block_res_samples = tuple(
+                r + jnp.transpose(cr, (0, 2, 3, 1))
+                for r, cr in zip(down_block_res_samples, down_block_additional_residuals)
+            )
+
         # 4. mid
         if self.mid_block is not None:
             sample = self.mid_block(
@@ -339,6 +348,8 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                 attention_mask=attention_mask,
                 encoder_attention_mask=encoder_attention_mask,
             )
+        if mid_block_additional_residual is not None:
+            sample = sample + jnp.transpose(mid_block_additional_residual, (0, 2, 3, 1))
 
         # 5. up
         for i, block in enumerate(self.up_blocks):
