@@ -31,3 +31,6 @@ from .scheduling_unipc_multistep import (
     UniPCMultistepSchedulerOutput,
     UniPCMultistepSchedulerState,
 )
+from .scheduling_ddim_inverse import DDIMInverseScheduler, DDIMInverseSchedulerOutput, DDIMInverseSchedulerState
+from .scheduling_deis_multistep import DEISMultistepScheduler, DEISMultistepSchedulerOutput, DEISMultistepSchedulerState
+from .scheduling_tcd import TCDScheduler, TCDSchedulerOutput, TCDSchedulerState

@@ -178,3 +178,54 @@ def test_dpm_flow_sigmas_matches_reference():
     ref = run_reference(TorchDPM, cfg)
     ours = run_ours(DPMSolverMultistepScheduler, cfg)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_deis_matches_reference():
+    from diffusers import DEISMultistepScheduler as TorchDEIS
+
+    from diffusers_tpu.schedulers import DEISMultistepScheduler
+
+    cfg = dict(beta_start=0.0001, beta_end=0.02, beta_schedule="linear", solver_order=2)
+    ref = run_reference(TorchDEIS, cfg)
+    ours = run_ours(DEISMultistepScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_tcd_matches_reference():
+    import torch
+
+    from diffusers import TCDScheduler as TorchTCD
+
+    from diffusers_tpu.schedulers import TCDScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    num_steps = 4
+
+    sch_t = TorchTCD(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sample_t = torch.from_numpy(dummy_sample_deter())
+    for t in sch_t.timesteps:
+        residual = sample_t * t / (t + 1)
+        sample_t = sch_t.step(residual, t, sample_t, eta=0.3, generator=torch.manual_seed(11)).prev_sample
+    ref = sample_t.numpy()
+
+    sch = TCDScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    sample = jnp.asarray(dummy_sample_deter())
+    for t in np.asarray(state.timesteps):
+        residual = sample * t / (t + 1)
+        noise = jnp.asarray(torch.randn(tuple(sample.shape), generator=torch.manual_seed(11)).numpy())
+        sample = sch.step(state, residual, t, sample, eta=0.3, variance_noise=noise).prev_sample
+    ours = np.asarray(sample)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_ddim_inverse_matches_reference():
+    from diffusers import DDIMInverseScheduler as TorchInv
+
+    from diffusers_tpu.schedulers import DDIMInverseScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear", clip_sample=False)
+    ref = run_reference(TorchInv, cfg)
+    ours = run_ours(DDIMInverseScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
