@@ -52,3 +52,21 @@ from .guiders import AdaptiveProjectedGuidance, ClassifierFreeGuidance, Classifi
 
 # processors
 from .image_processor import VaeImageProcessor
+
+# additional models / pipelines / subsystems
+from .models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
+from .models.controlnets.controlnet import ControlNetModel
+from .models.transformers.transformer_wan import WanTransformer3DModel
+from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
+from .pipelines.stable_diffusion.pipeline_stable_diffusion_img2img import StableDiffusionImg2ImgPipeline
+from .pipelines.stable_diffusion.pipeline_stable_diffusion_inpaint import StableDiffusionInpaintPipeline
+from .pipelines.stable_diffusion_3.pipeline_stable_diffusion_3 import StableDiffusion3Pipeline
+from .pipelines.wan.pipeline_wan import WanPipeline
+from .quantizers import Fp8WeightOnlyConfig, Int8WeightOnlyConfig, quantize_params
+from .schedulers import (
+    DDIMInverseScheduler,
+    DEISMultistepScheduler,
+    TCDScheduler,
+    UniPCMultistepScheduler,
+)
+from .video_processor import VideoProcessor
