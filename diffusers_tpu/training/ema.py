@@ -43,8 +43,9 @@ class EMAModel:
         self.power = power
 
     def init(self, params) -> EMAState:
+        # copy (not alias): params buffers are commonly donated to the train step
         return EMAState(
-            shadow_params=jax.tree.map(lambda x: x, params),
+            shadow_params=jax.tree.map(jnp.copy, params),
             optimization_step=jnp.asarray(0, dtype=jnp.int32),
         )
 
