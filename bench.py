@@ -45,6 +45,59 @@ def build_sdxl_unet():
     return model, params
 
 
+def build_flux_dev():
+    """Flux.1-dev-architecture transformer (19 dual + 38 single, 24x128 heads,
+    ~11.9B params) with int8 weight-only quantization to fit v5e HBM."""
+    from diffusers_tpu.models.transformers.transformer_flux import FluxTransformer2DModel
+    from diffusers_tpu.quantizers import Int8WeightOnlyConfig, quantize_params
+
+    model = FluxTransformer2DModel(guidance_embeds=True)
+
+    # zeros-init at bench scale (values don't affect timing; init of 12B
+    # random params would dominate startup)
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = quantize_params(params, Int8WeightOnlyConfig(min_weight_size=1 << 20))
+    return model, params
+
+
+def bench_flux_step():
+    model, params = build_flux_dev()
+    batch, img_seq, txt_seq = 1, 4096, 512  # 1024px packed latents
+    rng = np.random.RandomState(0)
+    img_ids = np.stack(
+        [np.zeros(img_seq), np.repeat(np.arange(64), 64), np.tile(np.arange(64), 64)], axis=-1
+    ).astype(np.float32)
+    txt_ids = np.zeros((txt_seq, 3), dtype=np.float32)
+    cos, sin = model.pos_embed({}, np.concatenate([txt_ids, img_ids], axis=0))
+
+    hidden = jnp.asarray(rng.randn(batch, img_seq, 64), dtype=jnp.bfloat16)
+    ehs = jnp.asarray(rng.randn(batch, txt_seq, 4096), dtype=jnp.bfloat16)
+    pooled = jnp.asarray(rng.randn(batch, 768), dtype=jnp.bfloat16)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+
+    @jax.jit
+    def fwd(params, hidden, ehs, pooled):
+        return model(
+            params,
+            hidden,
+            encoder_hidden_states=ehs,
+            pooled_projections=pooled,
+            timestep=jnp.full((batch,), 0.5, jnp.bfloat16),
+            guidance=jnp.full((batch,), 3.5, jnp.bfloat16),
+            image_rotary_emb=rope,
+        ).sample
+
+    out = fwd(params, hidden, ehs, pooled)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    n_iters = 10
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(params, hidden, ehs, pooled)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    return (time.perf_counter() - start) / n_iters
+
+
 def main():
     model, params = build_sdxl_unet()
     batch = 2  # CFG pair
@@ -81,6 +134,12 @@ def main():
     # 30-step CFG-pair generation throughput (UNet-dominated; VAE ignored)
     images_per_sec = 1.0 / (30 * latency)
     a100_reference_imgs_per_sec = 0.51  # public SDXL 1024px 30-step A100 bf16
+
+    try:
+        flux_step_ms = round(bench_flux_step() * 1000, 3)
+    except Exception as e:  # keep the headline metric alive if flux OOMs
+        flux_step_ms = None
+
     print(
         json.dumps(
             {
@@ -89,6 +148,7 @@ def main():
                 "unit": "ms",
                 "images_per_sec_30step": round(images_per_sec, 4),
                 "vs_baseline": round(images_per_sec / (2 * a100_reference_imgs_per_sec), 4),
+                "flux_dev_step_latency_1024px_int8_ms": flux_step_ms,
             }
         )
     )
