@@ -53,11 +53,35 @@ def build_flux_dev():
 
     model = FluxTransformer2DModel(guidance_embeds=True)
 
-    # zeros-init at bench scale (values don't affect timing; init of 12B
-    # random params would dominate startup)
+    # Build the int8-quantized tree directly from shapes: materializing the
+    # bf16 tree first would need 24GB (> v5e HBM). Values don't affect timing.
     shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16))
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    params = quantize_params(params, Int8WeightOnlyConfig(min_weight_size=1 << 20))
+
+    def build(tree, lead=()):
+        if isinstance(tree, dict):
+            if "kernel" in tree and not isinstance(tree["kernel"], dict) and len(tree["kernel"].shape) == 2 and (
+                tree["kernel"].shape[0] * tree["kernel"].shape[1] >= (1 << 20)
+            ):
+                out = {
+                    k: jnp.zeros(lead + v.shape, v.dtype) for k, v in tree.items() if k != "kernel"
+                }
+                out["kernel"] = jnp.zeros(lead + tree["kernel"].shape, jnp.int8)
+                out["kernel_scale"] = jnp.full(lead + (tree["kernel"].shape[1],), 1e-3, jnp.float32)
+                return out
+            return {
+                k: build(v, lead) if isinstance(v, dict) else jnp.zeros(lead + v.shape, v.dtype)
+                for k, v in tree.items()
+            }
+        return tree
+
+    # construct the scan-stacked layout directly (no transient second copy)
+    params = {}
+    for name, shape_tree in shapes.items():
+        if name in ("transformer_blocks", "single_transformer_blocks"):
+            n = len(shape_tree)
+            params[name] = build(shape_tree[0], lead=(n,))
+        else:
+            params[name] = build(shape_tree) if isinstance(shape_tree, dict) else jnp.zeros(shape_tree.shape, shape_tree.dtype)
     return model, params
 
 
@@ -86,6 +110,7 @@ def bench_flux_step():
             timestep=jnp.full((batch,), 0.5, jnp.bfloat16),
             guidance=jnp.full((batch,), 3.5, jnp.bfloat16),
             image_rotary_emb=rope,
+            scan_blocks=True,
         ).sample
 
     out = fwd(params, hidden, ehs, pooled)

@@ -250,6 +250,7 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
         image_rotary_emb: Optional[Tuple[jax.Array, jax.Array]] = None,
         controlnet_block_samples=None,
         controlnet_single_block_samples=None,
+        scan_blocks: bool = False,
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         hidden_states = self.x_embedder(params["x_embedder"], hidden_states)
@@ -266,6 +267,50 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
         if image_rotary_emb is None:
             ids = jnp.concatenate([txt_ids, img_ids], axis=0)
             image_rotary_emb = self.pos_embed({}, ids)
+
+        if scan_blocks and controlnet_block_samples is None and controlnet_single_block_samples is None:
+            # Repeated-block scan (our analogue of the reference's
+            # compile_repeated_blocks, modeling_utils.py:1568): lax.scan one
+            # block body over stacked per-block params. Bounds HLO temp memory
+            # to a single block's working set and compiles ~50x less HLO.
+            # Prefer pre-stacked params (see `stack_block_params`) so no
+            # stacked copy is materialized on device.
+            dual_stack = params["transformer_blocks"]
+            if isinstance(dual_stack, dict) and 0 in dual_stack:
+                dual_stack = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[params["transformer_blocks"][i] for i in range(len(self.transformer_blocks))],
+                )
+            single_stack = params["single_transformer_blocks"]
+            if isinstance(single_stack, dict) and 0 in single_stack:
+                single_stack = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[params["single_transformer_blocks"][i] for i in range(len(self.single_transformer_blocks))],
+                )
+            dual_block = self.transformer_blocks[0]
+            single_block = self.single_transformer_blocks[0]
+
+            def dual_body(carry, block_params):
+                hidden, context = carry
+                context, hidden = dual_block(block_params, hidden, context, temb, image_rotary_emb)
+                return (hidden, context), None
+
+            def single_body(carry, block_params):
+                hidden, context = carry
+                context, hidden = single_block(block_params, hidden, context, temb, image_rotary_emb)
+                return (hidden, context), None
+
+            (hidden_states, encoder_hidden_states), _ = jax.lax.scan(
+                dual_body, (hidden_states, encoder_hidden_states), dual_stack
+            )
+            (hidden_states, encoder_hidden_states), _ = jax.lax.scan(
+                single_body, (hidden_states, encoder_hidden_states), single_stack
+            )
+            hidden_states = self.norm_out(params["norm_out"], hidden_states, temb)
+            output = self.proj_out(params["proj_out"], hidden_states)
+            if not return_dict:
+                return (output,)
+            return Transformer2DModelOutput(sample=output)
 
         for i, block in enumerate(self.transformer_blocks):
             encoder_hidden_states, hidden_states = block(
@@ -297,3 +342,16 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
         if not return_dict:
             return (output,)
         return Transformer2DModelOutput(sample=output)
+
+
+def stack_block_params(params: Params) -> Params:
+    """Host-side: stack per-block param dicts into leading-axis arrays for the
+    `scan_blocks=True` forward (avoids materializing a second copy on device
+    inside jit)."""
+    out = dict(params)
+    for name in ("transformer_blocks", "single_transformer_blocks"):
+        blocks = params[name]
+        if isinstance(blocks, dict) and 0 in blocks:
+            n = len(blocks)
+            out[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *[blocks[i] for i in range(n)])
+    return out
