@@ -1,0 +1,45 @@
+"""AutoModel: config-sniffing model class resolution (mirror of the reference
+`models/auto_model.py:27`): reads `config.json`'s `_class_name` and loads the
+matching TPU-native model class."""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+from typing import Optional
+
+_MODEL_REGISTRY = {
+    "UNet2DModel": "diffusers_tpu.models.unets.unet_2d.UNet2DModel",
+    "UNet2DConditionModel": "diffusers_tpu.models.unets.unet_2d_condition.UNet2DConditionModel",
+    "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
+    "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
+    "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",
+    "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
+    "WanTransformer3DModel": "diffusers_tpu.models.transformers.transformer_wan.WanTransformer3DModel",
+    "ControlNetModel": "diffusers_tpu.models.controlnets.controlnet.ControlNetModel",
+    "CLIPTextModel": "diffusers_tpu.models.text_encoders.clip.CLIPTextModel",
+    "CLIPTextModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPTextModelWithProjection",
+    "T5EncoderModel": "diffusers_tpu.models.text_encoders.t5.T5EncoderModel",
+}
+
+
+class AutoModel:
+    def __init__(self, *args, **kwargs):
+        raise EnvironmentError("AutoModel is instantiated via `AutoModel.from_pretrained(...)`.")
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_or_path, subfolder: Optional[str] = None, **kwargs):
+        path = str(pretrained_model_or_path)
+        if subfolder:
+            config_path = os.path.join(path, subfolder, "config.json")
+        else:
+            config_path = os.path.join(path, "config.json")
+        with open(config_path) as f:
+            config = json.load(f)
+        class_name = config.get("_class_name") or config.get("architectures", [None])[0]
+        if class_name not in _MODEL_REGISTRY:
+            raise ValueError(f"AutoModel cannot resolve class {class_name!r}; known: {list(_MODEL_REGISTRY)}")
+        module_name, cls_name = _MODEL_REGISTRY[class_name].rsplit(".", 1)
+        model_cls = getattr(importlib.import_module(module_name), cls_name)
+        return model_cls.from_pretrained(path, subfolder=subfolder, **kwargs)
