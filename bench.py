@@ -123,7 +123,7 @@ def bench_flux_step():
     return (time.perf_counter() - start) / n_iters
 
 
-def main():
+def bench_sdxl_step():
     model, params = build_sdxl_unet()
     batch = 2  # CFG pair
     h = w = 128  # 1024px / 8
@@ -154,7 +154,13 @@ def main():
     for _ in range(n_iters):
         out = fwd(params, sample, jnp.asarray(500), ehs, text_embeds, time_ids)
     _ = float(jnp.sum(out.astype(jnp.float32)))
-    latency = (time.perf_counter() - start) / n_iters
+    return (time.perf_counter() - start) / n_iters
+
+
+def main():
+    # scope each workload so its HBM frees before the next one
+    latency = bench_sdxl_step()
+    jax.clear_caches()
 
     # 30-step CFG-pair generation throughput (UNet-dominated; VAE ignored)
     images_per_sec = 1.0 / (30 * latency)

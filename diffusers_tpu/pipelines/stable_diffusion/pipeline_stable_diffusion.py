@@ -129,6 +129,44 @@ class StableDiffusionPipeline(DiffusionPipeline):
         (latents, _), _ = jax.lax.scan(step_fn, (latents, state), state.timesteps)
         return latents
 
+    def _denoise_eager(
+        self, unet_params, prompt_embeds, latents, guidance_scale, num_inference_steps, do_cfg, callback
+    ):
+        """Per-step loop with host callbacks (reference loop semantics)."""
+        unet = self.unet[0]
+        scheduler = self.scheduler
+        state = scheduler.set_timesteps(num_inference_steps)
+        latents = latents * state.init_noise_sigma
+        if hasattr(scheduler, "prepare"):
+            state = scheduler.prepare(state, latents)
+        self._num_timesteps = state.timesteps.shape[0]
+
+        @jax.jit
+        def one_step(latents, state, t, prompt_embeds, guidance_scale):
+            effective_cfg = prompt_embeds.shape[0] == 2 * latents.shape[0]
+            latent_input = jnp.concatenate([latents, latents], axis=0) if effective_cfg else latents
+            latent_input = scheduler.scale_model_input(state, latent_input, t)
+            noise_pred = unet(
+                unet_params,
+                latent_input,
+                jnp.broadcast_to(t, (latent_input.shape[0],)),
+                encoder_hidden_states=prompt_embeds,
+            ).sample
+            if effective_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            out = scheduler.step(state, noise_pred, t, latents)
+            return out.prev_sample, out.state
+
+        for i, t in enumerate(np.asarray(state.timesteps)):
+            latents, state = one_step(latents, state, t, prompt_embeds, guidance_scale)
+            callback_kwargs = {"latents": latents, "prompt_embeds": prompt_embeds, "guidance_scale": guidance_scale}
+            callback_kwargs = callback(self, i, t, callback_kwargs)
+            latents = callback_kwargs.get("latents", latents)
+            prompt_embeds = callback_kwargs.get("prompt_embeds", prompt_embeds)
+            guidance_scale = callback_kwargs.get("guidance_scale", guidance_scale)
+        return latents
+
     # ------------------------------------------------------------ __call__
     def __call__(
         self,
@@ -143,6 +181,7 @@ class StableDiffusionPipeline(DiffusionPipeline):
         latents: Optional[jax.Array] = None,
         prompt_embeds: Optional[jax.Array] = None,
         output_type: str = "pil",
+        callback_on_step_end=None,
         return_dict: bool = True,
     ):
         unet, unet_params = self.unet
@@ -170,15 +209,23 @@ class StableDiffusionPipeline(DiffusionPipeline):
         if latents is None:
             latents = randn_tensor(shape, key=key)
 
-        denoise = jax.jit(
-            partial(
-                self._denoise,
-                guidance_scale=guidance_scale,
-                num_inference_steps=num_inference_steps,
-                do_cfg=do_cfg,
+        if callback_on_step_end is not None:
+            # callbacks need host control per step: per-step-jitted Python loop
+            # (the reference always runs this way; here it is opt-in)
+            latents = self._denoise_eager(
+                unet_params, prompt_embeds, latents, guidance_scale, num_inference_steps, do_cfg,
+                callback_on_step_end,
             )
-        )
-        latents = denoise(unet_params, prompt_embeds, latents)
+        else:
+            denoise = jax.jit(
+                partial(
+                    self._denoise,
+                    guidance_scale=guidance_scale,
+                    num_inference_steps=num_inference_steps,
+                    do_cfg=do_cfg,
+                )
+            )
+            latents = denoise(unet_params, prompt_embeds, latents)
 
         if output_type == "latent":
             image = latents

@@ -110,3 +110,25 @@ def test_latent_output_and_batching():
     out = pipe(["a cat", "a dog"], num_inference_steps=2, guidance_scale=6.0,
                key=jax.random.PRNGKey(1), output_type="latent", return_dict=False)[0]
     assert out.shape == (2, 4, 8, 8)
+
+
+def test_callback_on_step_end_cfg_cutoff():
+    from diffusers_tpu.callbacks import SDCFGCutoffCallback
+
+    pipe = get_dummy_pipeline()
+    out = pipe(
+        "a cat", num_inference_steps=4, guidance_scale=6.0, key=jax.random.PRNGKey(0),
+        output_type="np", callback_on_step_end=SDCFGCutoffCallback(cutoff_step_ratio=0.5),
+    )
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_callback_results_differ_from_no_callback():
+    from diffusers_tpu.callbacks import SDCFGCutoffCallback
+
+    pipe = get_dummy_pipeline()
+    a = pipe("a cat", num_inference_steps=4, guidance_scale=6.0, key=jax.random.PRNGKey(0), output_type="np").images
+    b = pipe("a cat", num_inference_steps=4, guidance_scale=6.0, key=jax.random.PRNGKey(0), output_type="np",
+             callback_on_step_end=SDCFGCutoffCallback(cutoff_step_ratio=0.25)).images
+    assert np.abs(a - b).max() > 1e-6
