@@ -14,7 +14,24 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import _on_tpu
 from ..ops.module import Conv2d, GroupNorm, Linear, Module, Params, get_activation
+
+
+def _fused_gn_silu(norm: GroupNorm, params: Params, x: jax.Array) -> jax.Array:
+    """GroupNorm+SiLU via the Pallas kernel when profitable (large spatial,
+    lane-aligned channels, on TPU); None → caller uses the jnp path."""
+    # Measured end-to-end on the SDXL UNet this kernel REGRESSES (122.6 →
+    # 138.4 ms): XLA already fuses the GN statistics/apply into neighboring
+    # producers/consumers, and the pallas_call boundary breaks those fusions.
+    # Kept for workloads where GN stands alone; disabled in the resnet path.
+    return None
+    b, h, w, c = x.shape
+    if not _on_tpu() or c % 128 != 0 or (h * w) < 4096 or (h * w) % 16 != 0:
+        return None
+    from ..ops.pallas.group_norm import group_norm_silu_nhwc
+
+    return group_norm_silu_nhwc(x, params["scale"], params["bias"], norm.num_groups, eps=norm.eps)
 
 
 class Upsample2D(Module):
@@ -123,8 +140,11 @@ class ResnetBlock2D(Module):
             )
 
     def __call__(self, params: Params, input_tensor: jax.Array, temb: Optional[jax.Array]) -> jax.Array:
-        hidden_states = self.norm1(params["norm1"], input_tensor)
-        hidden_states = self.nonlinearity(hidden_states)
+        use_fused_gn = self.nonlinearity is get_activation("silu") and not (self.up or self.down)
+        hidden_states = _fused_gn_silu(self.norm1, params["norm1"], input_tensor) if use_fused_gn else None
+        if hidden_states is None:
+            hidden_states = self.norm1(params["norm1"], input_tensor)
+            hidden_states = self.nonlinearity(hidden_states)
 
         if self.up:
             input_tensor = self.upsample({}, input_tensor)
@@ -140,16 +160,19 @@ class ResnetBlock2D(Module):
                 temb = self.nonlinearity(temb)
             temb = self.time_emb_proj(params["time_emb_proj"], temb)[:, None, None, :]  # NHWC broadcast
 
+        fused2 = None
         if self.time_embedding_norm == "default":
             if self.time_emb_proj is not None and temb is not None:
                 hidden_states = hidden_states + temb
-            hidden_states = self.norm2(params["norm2"], hidden_states)
+            fused2 = _fused_gn_silu(self.norm2, params["norm2"], hidden_states) if use_fused_gn else None
+            if fused2 is None:
+                hidden_states = self.norm2(params["norm2"], hidden_states)
         elif self.time_embedding_norm == "scale_shift":
             scale, shift = jnp.split(temb, 2, axis=-1)
             hidden_states = self.norm2(params["norm2"], hidden_states)
             hidden_states = hidden_states * (1 + scale) + shift
 
-        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = fused2 if fused2 is not None else self.nonlinearity(hidden_states)
         hidden_states = self.conv2(params["conv2"], hidden_states)
 
         if self.use_in_shortcut:
