@@ -56,6 +56,14 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "DEISMultistepScheduler": "diffusers_tpu.schedulers.scheduling_deis_multistep.DEISMultistepScheduler",
     "KDPM2DiscreteScheduler": "diffusers_tpu.schedulers.scheduling_k_dpm_2_discrete.KDPM2DiscreteScheduler",
     "DPMSolverSinglestepScheduler": "diffusers_tpu.schedulers.scheduling_dpmsolver_singlestep.DPMSolverSinglestepScheduler",
+    "DDIMInverseScheduler": "diffusers_tpu.schedulers.scheduling_ddim_inverse.DDIMInverseScheduler",
+    "EDMEulerScheduler": "diffusers_tpu.schedulers.scheduling_edm_euler.EDMEulerScheduler",
+    "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
+    "WanTransformer3DModel": "diffusers_tpu.models.transformers.transformer_wan.WanTransformer3DModel",
+    "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
+    "AutoencoderTiny": "diffusers_tpu.models.autoencoders.autoencoder_tiny.AutoencoderTiny",
+    "ControlNetModel": "diffusers_tpu.models.controlnets.controlnet.ControlNetModel",
+    "PixArtTransformer2DModel": "diffusers_tpu.models.transformers.pixart_transformer_2d.PixArtTransformer2DModel",
 }
 
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {

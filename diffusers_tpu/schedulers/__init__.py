@@ -34,3 +34,4 @@ from .scheduling_unipc_multistep import (
 from .scheduling_ddim_inverse import DDIMInverseScheduler, DDIMInverseSchedulerOutput, DDIMInverseSchedulerState
 from .scheduling_deis_multistep import DEISMultistepScheduler, DEISMultistepSchedulerOutput, DEISMultistepSchedulerState
 from .scheduling_tcd import TCDScheduler, TCDSchedulerOutput, TCDSchedulerState
+from .scheduling_edm_euler import EDMEulerScheduler, EDMEulerSchedulerOutput, EDMEulerSchedulerState

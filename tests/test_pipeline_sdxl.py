@@ -91,3 +91,20 @@ def test_sdxl_negative_prompt():
     b = pipe("a cat", negative_prompt="ugly", num_inference_steps=2, guidance_scale=5.0,
              key=jax.random.PRNGKey(0), output_type="np").images
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_sdxl_img2img():
+    import jax.numpy as jnp
+
+    from diffusers_tpu.pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl_img2img import (
+        StableDiffusionXLImg2ImgPipeline,
+    )
+
+    base = get_dummy_pipeline()
+    comps = {k: v for k, v in base.components.items() if k not in ("image_encoder", "feature_extractor")}
+    pipe = StableDiffusionXLImg2ImgPipeline(**comps)
+    image = np.random.RandomState(0).rand(1, 3, 8, 8).astype(np.float32) * 2 - 1
+    out = pipe("a cat", image=image, strength=0.6, num_inference_steps=5, guidance_scale=5.0,
+               key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()

@@ -229,3 +229,14 @@ def test_ddim_inverse_matches_reference():
     ref = run_reference(TorchInv, cfg)
     ours = run_ours(DDIMInverseScheduler, cfg)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_edm_euler_matches_reference():
+    from diffusers import EDMEulerScheduler as TorchEDM
+
+    from diffusers_tpu.schedulers import EDMEulerScheduler
+
+    cfg = dict(sigma_min=0.002, sigma_max=80.0, sigma_data=0.5)
+    ref = run_reference(TorchEDM, cfg, scale_input=True)
+    ours = run_ours(EDMEulerScheduler, cfg, scale_input=True)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
