@@ -140,7 +140,10 @@ class DiffusionPipeline(ConfigMixin):
         for name, value in config_dict.items():
             if name.startswith("_") or name not in expected:
                 continue
-            if value is None or (isinstance(value, (list, tuple)) and value[0] is None):
+            if not isinstance(value, (list, tuple)) or len(value) != 2:
+                init_kwargs[name] = value  # plain config flag (e.g. requires_safety_checker)
+                continue
+            if value[0] is None:
                 init_kwargs[name] = None
                 continue
             library, class_name = value

@@ -35,3 +35,8 @@ from .scheduling_ddim_inverse import DDIMInverseScheduler, DDIMInverseSchedulerO
 from .scheduling_deis_multistep import DEISMultistepScheduler, DEISMultistepSchedulerOutput, DEISMultistepSchedulerState
 from .scheduling_tcd import TCDScheduler, TCDSchedulerOutput, TCDSchedulerState
 from .scheduling_edm_euler import EDMEulerScheduler, EDMEulerSchedulerOutput, EDMEulerSchedulerState
+from .scheduling_k_dpm_2_discrete import (
+    KDPM2DiscreteScheduler,
+    KDPM2DiscreteSchedulerOutput,
+    KDPM2DiscreteSchedulerState,
+)

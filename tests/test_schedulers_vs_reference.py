@@ -240,3 +240,14 @@ def test_edm_euler_matches_reference():
     ref = run_reference(TorchEDM, cfg, scale_input=True)
     ours = run_ours(EDMEulerScheduler, cfg, scale_input=True)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_kdpm2_matches_reference():
+    from diffusers import KDPM2DiscreteScheduler as TorchK
+
+    from diffusers_tpu.schedulers import KDPM2DiscreteScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    ref = run_reference(TorchK, cfg, scale_input=True)
+    ours = run_ours(KDPM2DiscreteScheduler, cfg, scale_input=True)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
