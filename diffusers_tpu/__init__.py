@@ -66,6 +66,9 @@ from .quantizers import Fp8WeightOnlyConfig, Int8WeightOnlyConfig, quantize_para
 from .schedulers import (
     DDIMInverseScheduler,
     DEISMultistepScheduler,
+    DPMSolverSinglestepScheduler,
+    EDMEulerScheduler,
+    KDPM2DiscreteScheduler,
     TCDScheduler,
     UniPCMultistepScheduler,
 )

@@ -40,3 +40,8 @@ from .scheduling_k_dpm_2_discrete import (
     KDPM2DiscreteSchedulerOutput,
     KDPM2DiscreteSchedulerState,
 )
+from .scheduling_dpmsolver_singlestep import (
+    DPMSolverSinglestepScheduler,
+    DPMSolverSinglestepSchedulerOutput,
+    DPMSolverSinglestepSchedulerState,
+)

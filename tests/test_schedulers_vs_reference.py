@@ -251,3 +251,28 @@ def test_kdpm2_matches_reference():
     ref = run_reference(TorchK, cfg, scale_input=True)
     ours = run_ours(KDPM2DiscreteScheduler, cfg, scale_input=True)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_dpmsolver_singlestep_matches_reference():
+    from diffusers import DPMSolverSinglestepScheduler as TorchSS
+
+    from diffusers_tpu.schedulers import DPMSolverSinglestepScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    ref = run_reference(TorchSS, cfg)
+    ours = run_ours(DPMSolverSinglestepScheduler, cfg)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_dpmsolver_singlestep_lower_order_final_karras():
+    from diffusers import DPMSolverSinglestepScheduler as TorchSS
+
+    from diffusers_tpu.schedulers import DPMSolverSinglestepScheduler
+
+    cfg = dict(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        lower_order_final=True, use_karras_sigmas=True, final_sigmas_type="sigma_min",
+    )
+    ref = run_reference(TorchSS, cfg, num_steps=9)
+    ours = run_ours(DPMSolverSinglestepScheduler, cfg, num_steps=9)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
