@@ -101,6 +101,11 @@ class Attention(Module):
         if added_kv_proj_dim is not None and context_pre_only is False:
             self.to_add_out = Linear(self.inner_dim, added_kv_proj_dim, use_bias=out_bias)
 
+    # IP-Adapter scale(s); set post-hoc by loaders.ip_adapter (a python
+    # attribute: changing it retraces jit'd callers, matching the reference's
+    # set_ip_adapter_scale semantics at attention_processor.py:4408)
+    ip_adapter_scale: Optional[list] = None
+
     def __call__(
         self,
         params: Params,
@@ -108,6 +113,7 @@ class Attention(Module):
         encoder_hidden_states: Optional[jax.Array] = None,
         attention_mask: Optional[jax.Array] = None,
         backend: Optional[str] = None,
+        ip_hidden_states: Optional[list] = None,
     ) -> jax.Array:
         residual = hidden_states
         b, s, _ = hidden_states.shape
@@ -141,6 +147,19 @@ class Attention(Module):
             query, key, value, attn_mask=attention_mask, scale=self.scale, backend=backend
         )
         attn = attn.reshape(b, s, self.heads * self.dim_head)
+
+        # IP-Adapter: extra image cross-attentions with grafted K/V projections
+        # (reference IPAdapterAttnProcessor2_0, attention_processor.py:4560)
+        if ip_hidden_states is not None and "to_k_ip" in params:
+            scales = self.ip_adapter_scale or [1.0] * len(ip_hidden_states)
+            for i, ip in enumerate(ip_hidden_states):
+                if scales[i] == 0:
+                    continue
+                ip = ip.reshape(b, -1, ip.shape[-1])  # [B, num_images*tokens, D]
+                ip_key = (ip @ params["to_k_ip"][i]["kernel"]).reshape(b, -1, self.heads, self.dim_head)
+                ip_value = (ip @ params["to_v_ip"][i]["kernel"]).reshape(b, -1, self.heads, self.dim_head)
+                ip_attn = dispatch_attention_fn(query, ip_key, ip_value, scale=self.scale, backend="native")
+                attn = attn + scales[i] * ip_attn.reshape(b, s, self.heads * self.dim_head)
 
         if self.pre_only:
             return attn

@@ -182,6 +182,12 @@ class BasicTransformerBlock(Module):
         attention_mask: Optional[jax.Array] = None,
         encoder_attention_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        # IP-Adapter: encoder_hidden_states arrives as (text, ip_list) —
+        # mirrors the reference's tuple contract (unet_2d_condition.py:975)
+        ip_hidden_states = None
+        if isinstance(encoder_hidden_states, tuple):
+            encoder_hidden_states, ip_hidden_states = encoder_hidden_states
+
         # 1. self attention
         norm_hidden = self.norm1(params["norm1"], hidden_states)
         attn_output = self.attn1(
@@ -200,6 +206,7 @@ class BasicTransformerBlock(Module):
                 norm_hidden,
                 encoder_hidden_states=encoder_hidden_states,
                 attention_mask=encoder_attention_mask,
+                ip_hidden_states=ip_hidden_states,
             )
             hidden_states = attn_output + hidden_states
 

@@ -260,3 +260,170 @@ class CLIPTextModel(Module, ModelMixin, ConfigMixin):
 
 class CLIPTextModelWithProjection(CLIPTextModel):
     has_projection = True
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (IP-Adapter image encoder; reference pipelines cross into
+# transformers.CLIPVisionModelWithProjection, e.g. pipeline encode_image)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CLIPVisionModelOutput(BaseOutput):
+    last_hidden_state: jax.Array
+    pooler_output: Optional[jax.Array] = None
+    hidden_states: Optional[Tuple[jax.Array, ...]] = None
+    image_embeds: Optional[jax.Array] = None
+
+
+class CLIPVisionEmbeddings(Module):
+    def __init__(self, embed_dim: int, image_size: int, patch_size: int, num_channels: int = 3):
+        super().__init__()
+        from ...ops.module import Conv2d
+
+        self.embed_dim = embed_dim
+        self.patch_embedding = Conv2d(num_channels, embed_dim, kernel_size=patch_size, stride=patch_size, use_bias=False)
+        num_positions = (image_size // patch_size) ** 2 + 1
+        self.position_embedding = Embedding(num_positions, embed_dim)
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        params = super().init(key, dtype=dtype)
+        params["class_embedding"] = (jax.random.normal(key, (self.embed_dim,)) * self.embed_dim**-0.5).astype(dtype)
+        return params
+
+    def __call__(self, params: Params, pixel_values: jax.Array) -> jax.Array:
+        # pixel_values NCHW (transformers contract) → NHWC internally
+        x = jnp.transpose(pixel_values, (0, 2, 3, 1))
+        patches = self.patch_embedding(params["patch_embedding"], x)  # [B, h, w, D]
+        b = patches.shape[0]
+        patches = patches.reshape(b, -1, self.embed_dim)
+        cls = jnp.broadcast_to(params["class_embedding"].astype(patches.dtype), (b, 1, self.embed_dim))
+        embeds = jnp.concatenate([cls, patches], axis=1)
+        pos_ids = jnp.arange(embeds.shape[1])[None]
+        return embeds + self.position_embedding(params["position_embedding"], pos_ids)
+
+
+class CLIPVisionTransformer(Module):
+    def __init__(self, config: dict):
+        super().__init__()
+        embed_dim = config["hidden_size"]
+        eps = config.get("layer_norm_eps", 1e-5)
+        self.embeddings = CLIPVisionEmbeddings(
+            embed_dim, config["image_size"], config["patch_size"], config.get("num_channels", 3)
+        )
+        # "pre_layrnorm": the transformers checkpoint key is (sic) misspelled
+        self.pre_layrnorm = LayerNorm(embed_dim, eps=eps)
+        self.encoder = _CLIPEncoder(config)
+        self.post_layernorm = LayerNorm(embed_dim, eps=eps)
+
+    def __call__(self, params, pixel_values, output_hidden_states=False):
+        hidden = self.embeddings(params["embeddings"], pixel_values)
+        hidden = self.pre_layrnorm(params["pre_layrnorm"], hidden)
+        all_hidden = [hidden] if output_hidden_states else None
+        for i, layer in enumerate(self.encoder.layers):
+            hidden = layer(params["encoder"]["layers"][i], hidden, None)
+            if output_hidden_states:
+                all_hidden.append(hidden)
+        pooled = self.post_layernorm(params["post_layernorm"], hidden[:, 0])
+        return hidden, pooled, tuple(all_hidden) if output_hidden_states else None
+
+
+_CLIP_VISION_CONFIG_KEYS = [
+    "hidden_size",
+    "intermediate_size",
+    "num_hidden_layers",
+    "num_attention_heads",
+    "image_size",
+    "patch_size",
+    "num_channels",
+    "hidden_act",
+    "layer_norm_eps",
+    "projection_dim",
+]
+
+
+class CLIPVisionModel(Module, ModelMixin, ConfigMixin):
+    """Matches transformers.CLIPVisionModel(WithProjection) checkpoint layout."""
+
+    has_projection = False
+
+    @register_to_config
+    def __init__(
+        self,
+        hidden_size: int = 1024,
+        intermediate_size: int = 4096,
+        num_hidden_layers: int = 24,
+        num_attention_heads: int = 16,
+        image_size: int = 224,
+        patch_size: int = 14,
+        num_channels: int = 3,
+        hidden_act: str = "quick_gelu",
+        layer_norm_eps: float = 1e-5,
+        projection_dim: int = 768,
+        **kwargs,
+    ):
+        super().__init__()
+        cfg = dict(
+            hidden_size=hidden_size,
+            intermediate_size=intermediate_size,
+            num_hidden_layers=num_hidden_layers,
+            num_attention_heads=num_attention_heads,
+            image_size=image_size,
+            patch_size=patch_size,
+            num_channels=num_channels,
+            hidden_act=hidden_act,
+            layer_norm_eps=layer_norm_eps,
+        )
+        self.vision_model = CLIPVisionTransformer(cfg)
+        if self.has_projection:
+            self.visual_projection = Linear(hidden_size, projection_dim, use_bias=False)
+
+    def __call__(
+        self,
+        params: Params,
+        pixel_values: jax.Array,
+        output_hidden_states: bool = False,
+    ) -> CLIPVisionModelOutput:
+        last_hidden, pooled, all_hidden = self.vision_model(params["vision_model"], pixel_values, output_hidden_states)
+        image_embeds = None
+        if self.has_projection:
+            image_embeds = self.visual_projection(params["visual_projection"], pooled)
+        return CLIPVisionModelOutput(
+            last_hidden_state=last_hidden,
+            pooler_output=pooled,
+            hidden_states=all_hidden,
+            image_embeds=image_embeds,
+        )
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, **kwargs):
+        from ...utils.hub_utils import snapshot_download_repo
+        from ...utils.jax_utils import resolve_dtype
+        from safetensors import safe_open
+
+        root = str(pretrained_model_name_or_path)
+        if not os.path.isdir(root):
+            root = snapshot_download_repo(root, **kwargs)
+        model_path = os.path.join(root, subfolder) if subfolder else root
+
+        with open(os.path.join(model_path, "config.json")) as f:
+            full_config = json.load(f)
+        init_kwargs = {k: full_config[k] for k in _CLIP_VISION_CONFIG_KEYS if k in full_config}
+        model = cls(**init_kwargs)
+
+        weights_file = "model.safetensors" if variant is None else f"model.{variant}.safetensors"
+        path = os.path.join(model_path, weights_file)
+        if not os.path.isfile(path):
+            raise EnvironmentError(f"no weights at {path}")
+        state = {}
+        with safe_open(path, framework="numpy") as f:
+            for k in f.keys():
+                if k.startswith("vision_model.") or k.startswith("visual_projection"):
+                    state[k] = f.get_tensor(k)
+        state = {k: v for k, v in state.items() if not k.endswith("position_ids")}
+        params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
+        return model, params
+
+
+class CLIPVisionModelWithProjection(CLIPVisionModel):
+    has_projection = True

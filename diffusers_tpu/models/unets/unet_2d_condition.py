@@ -131,6 +131,9 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             encoder_hid_dim_type = "text_proj"
         if encoder_hid_dim_type == "text_proj":
             self.encoder_hid_proj = Linear(encoder_hid_dim, cross_attention_dims[0])
+        elif encoder_hid_dim_type == "ip_image_proj":
+            # populated post-hoc by loaders.ip_adapter.load_ip_adapter
+            self.encoder_hid_proj = None
         elif encoder_hid_dim_type is not None:
             raise NotImplementedError(f"encoder_hid_dim_type {encoder_hid_dim_type} not yet supported")
         else:
@@ -309,7 +312,18 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             emb = self.time_embed_act(emb)
 
         if self.encoder_hid_proj is not None:
-            encoder_hidden_states = self.encoder_hid_proj(params["encoder_hid_proj"], encoder_hidden_states)
+            from ..ip_adapter import MultiIPAdapterImageProjection
+
+            if isinstance(self.encoder_hid_proj, MultiIPAdapterImageProjection):
+                # IP-Adapter: project image embeds, carry as (text, ip_list)
+                # tuple (reference process_encoder_hidden_states,
+                # unet_2d_condition.py:964 'ip_image_proj')
+                if added_cond_kwargs is None or "image_embeds" not in added_cond_kwargs:
+                    raise ValueError("IP-Adapter is loaded: pass added_cond_kwargs={'image_embeds': [...]}")
+                image_embeds = self.encoder_hid_proj(params["encoder_hid_proj"], added_cond_kwargs["image_embeds"])
+                encoder_hidden_states = (encoder_hidden_states, image_embeds)
+            else:
+                encoder_hidden_states = self.encoder_hid_proj(params["encoder_hid_proj"], encoder_hidden_states)
 
         # 2. pre-process (NCHW -> NHWC)
         sample = jnp.transpose(sample, (0, 2, 3, 1))

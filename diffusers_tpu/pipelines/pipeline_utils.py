@@ -69,10 +69,16 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "CLIPTextModel": "diffusers_tpu.models.text_encoders.clip.CLIPTextModel",
     "CLIPTextModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPTextModelWithProjection",
+    "CLIPVisionModel": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModel",
+    "CLIPVisionModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModelWithProjection",
     "T5EncoderModel": "diffusers_tpu.models.text_encoders.t5.T5EncoderModel",
 }
 
-_TOKENIZER_CLASSES = {"CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer"}
+# loaded via transformers' own from_pretrained (pure-host preprocessing)
+_TOKENIZER_CLASSES = {
+    "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
+    "CLIPImageProcessor", "CLIPFeatureExtractor",
+}
 
 
 def _import_class(path: str):

@@ -65,6 +65,59 @@ class StableDiffusionPipeline(DiffusionPipeline):
         self.vae_scale_factor = 2 ** (len(self.vae[0].config.block_out_channels) - 1) if vae is not None else 8
         self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor)
 
+    # ------------------------------------------------------------ ip-adapter
+    def load_ip_adapter(self, source, dtype=None):
+        """Graft IP-Adapter weights into the UNet (reference
+        loaders/ip_adapter.py:IPAdapterMixin.load_ip_adapter). `source` is a
+        safetensors path or {'image_proj','ip_adapter'} dict (or a list for
+        multiple adapters)."""
+        from ...loaders.ip_adapter import load_ip_adapter as _load
+
+        unet, unet_params = self.unet
+        self.unet = (unet, _load(unet, unet_params, source, dtype=dtype))
+
+    def set_ip_adapter_scale(self, scale):
+        from ...loaders.ip_adapter import set_ip_adapter_scale as _set
+
+        _set(self.unet[0], scale)
+
+    def unload_ip_adapter(self):
+        from ...loaders.ip_adapter import unload_ip_adapter as _unload
+
+        unet, unet_params = self.unet
+        self.unet = (unet, _unload(unet, unet_params))
+
+    def prepare_ip_adapter_image_embeds(self, ip_adapter_image, batch_size: int, do_cfg: bool):
+        """Encode image(s) → per-adapter embeds [2B|B, num_images, ...] with
+        the CFG negative as zero-image embeds (reference
+        pipeline_stable_diffusion.py encode_image/prepare_ip_adapter_image_embeds)."""
+        from ...models.ip_adapter import IPAdapterPlusImageProjection
+
+        unet = self.unet[0]
+        if self.image_encoder is None or unet.encoder_hid_proj is None:
+            raise ValueError("load_ip_adapter() first, and register an image_encoder to pass raw images")
+        encoder, enc_params = self.image_encoder
+        if not isinstance(ip_adapter_image, (list, tuple)):
+            ip_adapter_image = [ip_adapter_image]
+
+        embeds = []
+        for layer, image in zip(unet.encoder_hid_proj.image_projection_layers, ip_adapter_image):
+            use_hidden = isinstance(layer, IPAdapterPlusImageProjection)
+            if self.feature_extractor is not None and not isinstance(image, (np.ndarray, jnp.ndarray)):
+                image = self.feature_extractor(image, return_tensors="np").pixel_values
+            pixels = jnp.asarray(image, dtype=jnp.float32)
+            if use_hidden:
+                pos = encoder(enc_params, pixels, output_hidden_states=True).hidden_states[-2]
+                neg = encoder(enc_params, jnp.zeros_like(pixels), output_hidden_states=True).hidden_states[-2]
+            else:
+                pos = encoder(enc_params, pixels).image_embeds
+                neg = jnp.zeros_like(pos)
+            pos = jnp.broadcast_to(pos[0][None], (batch_size,) + pos.shape[1:])
+            neg = jnp.broadcast_to(neg[0][None], (batch_size,) + neg.shape[1:])
+            e = jnp.concatenate([neg, pos], axis=0) if do_cfg else pos
+            embeds.append(e[:, None] if e.ndim == 2 else e[:, None, :, :])  # add num_images dim
+        return embeds
+
     # ------------------------------------------------------------ prompts
     def _tokenize(self, prompt: Union[str, List[str]]):
         if isinstance(prompt, str):
@@ -102,6 +155,7 @@ class StableDiffusionPipeline(DiffusionPipeline):
         guidance_scale: float,
         num_inference_steps: int,
         do_cfg: bool,
+        image_embeds: Optional[list] = None,
     ) -> jax.Array:
         unet = self.unet[0]
         scheduler = self.scheduler
@@ -109,6 +163,7 @@ class StableDiffusionPipeline(DiffusionPipeline):
         latents = latents * state.init_noise_sigma
         if hasattr(scheduler, "prepare"):  # multistep schedulers allocate history
             state = scheduler.prepare(state, latents)
+        added_cond_kwargs = {"image_embeds": image_embeds} if image_embeds is not None else None
 
         def step_fn(carry, t):
             latents, state = carry
@@ -119,6 +174,7 @@ class StableDiffusionPipeline(DiffusionPipeline):
                 latent_input,
                 jnp.broadcast_to(t, (latent_input.shape[0],)),
                 encoder_hidden_states=prompt_embeds,
+                added_cond_kwargs=added_cond_kwargs,
             ).sample
             if do_cfg:
                 noise_uncond, noise_text = jnp.split(noise_pred, 2, axis=0)
@@ -180,6 +236,8 @@ class StableDiffusionPipeline(DiffusionPipeline):
         key: Optional[jax.Array] = None,
         latents: Optional[jax.Array] = None,
         prompt_embeds: Optional[jax.Array] = None,
+        ip_adapter_image=None,
+        ip_adapter_image_embeds: Optional[list] = None,
         output_type: str = "pil",
         callback_on_step_end=None,
         return_dict: bool = True,
@@ -209,6 +267,10 @@ class StableDiffusionPipeline(DiffusionPipeline):
         if latents is None:
             latents = randn_tensor(shape, key=key)
 
+        image_embeds = ip_adapter_image_embeds
+        if image_embeds is None and ip_adapter_image is not None:
+            image_embeds = self.prepare_ip_adapter_image_embeds(ip_adapter_image, batch_size, do_cfg)
+
         if callback_on_step_end is not None:
             # callbacks need host control per step: per-step-jitted Python loop
             # (the reference always runs this way; here it is opt-in)
@@ -225,7 +287,7 @@ class StableDiffusionPipeline(DiffusionPipeline):
                     do_cfg=do_cfg,
                 )
             )
-            latents = denoise(unet_params, prompt_embeds, latents)
+            latents = denoise(unet_params, prompt_embeds, latents, image_embeds=image_embeds)
 
         if output_type == "latent":
             image = latents
