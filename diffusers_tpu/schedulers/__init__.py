@@ -45,3 +45,9 @@ from .scheduling_dpmsolver_singlestep import (
     DPMSolverSinglestepSchedulerOutput,
     DPMSolverSinglestepSchedulerState,
 )
+from .scheduling_ipndm import IPNDMScheduler, IPNDMSchedulerOutput, IPNDMSchedulerState
+from .scheduling_k_dpm_2_ancestral_discrete import (
+    KDPM2AncestralDiscreteScheduler,
+    KDPM2AncestralDiscreteSchedulerOutput,
+    KDPM2AncestralDiscreteSchedulerState,
+)

@@ -276,3 +276,45 @@ def test_dpmsolver_singlestep_lower_order_final_karras():
     ref = run_reference(TorchSS, cfg, num_steps=9)
     ours = run_ours(DPMSolverSinglestepScheduler, cfg, num_steps=9)
     assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_ipndm_matches_reference():
+    from diffusers import IPNDMScheduler as TorchIPNDM
+
+    from diffusers_tpu.schedulers import IPNDMScheduler
+
+    ref = run_reference(TorchIPNDM, {})
+    ours = run_ours(IPNDMScheduler, {})
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_kdpm2_ancestral_matches_reference():
+    import torch
+
+    from diffusers import KDPM2AncestralDiscreteScheduler as TorchK
+
+    from diffusers_tpu.schedulers import KDPM2AncestralDiscreteScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    num_steps = 10
+
+    sch_t = TorchK(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sample_t = torch.from_numpy(dummy_sample_deter()) * sch_t.init_noise_sigma
+    for t in sch_t.timesteps:
+        inp = sch_t.scale_model_input(sample_t, t)
+        residual = inp * t / (t + 1)
+        sample_t = sch_t.step(residual, t, sample_t, generator=torch.manual_seed(11)).prev_sample
+    ref = sample_t.numpy()
+
+    sch = KDPM2AncestralDiscreteScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    sample = jnp.asarray(dummy_sample_deter()) * state.init_noise_sigma
+    for t in np.asarray(state.timesteps):
+        inp = sch.scale_model_input(state, sample, t)
+        residual = inp * t / (t + 1)
+        noise = jnp.asarray(torch.randn(tuple(sample.shape), generator=torch.manual_seed(11)).numpy())
+        out = sch.step(state, residual, t, sample, variance_noise=noise)
+        sample, state = out.prev_sample, out.state
+    ours = np.asarray(sample)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
