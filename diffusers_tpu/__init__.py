@@ -40,12 +40,18 @@ from .schedulers import (
 )
 
 # pipelines
-from .pipelines.auto_pipeline import AutoPipelineForImage2Image, AutoPipelineForText2Image
+from .pipelines.auto_pipeline import (
+    AutoPipelineForImage2Image,
+    AutoPipelineForInpainting,
+    AutoPipelineForText2Image,
+)
 from .pipelines.ddpm.pipeline_ddpm import DDPMPipeline
 from .pipelines.flux.pipeline_flux import FluxPipeline
 from .pipelines.pipeline_utils import DiffusionPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion import StableDiffusionPipeline
 from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl import StableDiffusionXLPipeline
+from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl_img2img import StableDiffusionXLImg2ImgPipeline
+from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl_inpaint import StableDiffusionXLInpaintPipeline
 
 # guiders
 from .guiders import AdaptiveProjectedGuidance, ClassifierFreeGuidance, ClassifierFreeZeroStarGuidance

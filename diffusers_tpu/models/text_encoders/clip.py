@@ -258,8 +258,25 @@ class CLIPTextModel(Module, ModelMixin, ConfigMixin):
         return model, params
 
 
+    def save_pretrained(self, save_directory, params, **kwargs):
+        """transformers layout: model.safetensors (+ config.json)."""
+        _save_transformers_style(self, save_directory, params)
+
+
 class CLIPTextModelWithProjection(CLIPTextModel):
     has_projection = True
+
+
+def _save_transformers_style(model, save_directory, params):
+    from safetensors.numpy import save_file
+
+    from ..modeling_utils import flatten_to_torch_state_dict
+
+    os.makedirs(save_directory, exist_ok=True)
+    model.save_config(save_directory)
+    state_dict = flatten_to_torch_state_dict(model, params)
+    state_dict = {k: np.ascontiguousarray(v) for k, v in state_dict.items()}
+    save_file(state_dict, os.path.join(save_directory, "model.safetensors"))
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +440,11 @@ class CLIPVisionModel(Module, ModelMixin, ConfigMixin):
         state = {k: v for k, v in state.items() if not k.endswith("position_ids")}
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
         return model, params
+
+
+    def save_pretrained(self, save_directory, params, **kwargs):
+        """transformers layout: model.safetensors (+ config.json)."""
+        _save_transformers_style(self, save_directory, params)
 
 
 class CLIPVisionModelWithProjection(CLIPVisionModel):

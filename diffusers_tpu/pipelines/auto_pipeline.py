@@ -1,9 +1,9 @@
 """AutoPipeline: task-oriented pipeline class resolution.
 
 Mirror of the reference `pipelines/auto_pipeline.py:371`
-(AutoPipelineForText2Image etc.): reads `model_index.json`'s `_class_name`
-and dispatches to the matching TPU-native pipeline class.
-"""
+(AutoPipelineForText2Image / Image2Image / Inpainting): reads
+`model_index.json`'s `_class_name`, normalizes it to a model family, and
+dispatches to the TPU-native pipeline class for the requested task."""
 
 from __future__ import annotations
 
@@ -13,20 +13,47 @@ from collections import OrderedDict
 
 from ..utils.hub_utils import snapshot_download_repo
 
+_SD = "diffusers_tpu.pipelines.stable_diffusion."
+_SDXL = "diffusers_tpu.pipelines.stable_diffusion_xl."
+
 AUTO_TEXT2IMAGE_PIPELINES_MAPPING = OrderedDict(
     [
-        ("stable-diffusion", "diffusers_tpu.pipelines.stable_diffusion.pipeline_stable_diffusion.StableDiffusionPipeline"),
-        ("stable-diffusion-xl", "diffusers_tpu.pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl.StableDiffusionXLPipeline"),
+        ("stable-diffusion", _SD + "pipeline_stable_diffusion.StableDiffusionPipeline"),
+        ("stable-diffusion-xl", _SDXL + "pipeline_stable_diffusion_xl.StableDiffusionXLPipeline"),
+        ("stable-diffusion-3", "diffusers_tpu.pipelines.stable_diffusion_3.pipeline_stable_diffusion_3.StableDiffusion3Pipeline"),
         ("flux", "diffusers_tpu.pipelines.flux.pipeline_flux.FluxPipeline"),
         ("ddpm", "diffusers_tpu.pipelines.ddpm.pipeline_ddpm.DDPMPipeline"),
+        ("controlnet", "diffusers_tpu.pipelines.controlnet.pipeline_controlnet.StableDiffusionControlNetPipeline"),
     ]
 )
 
-_CLASS_NAME_TO_IMPL = {
-    "StableDiffusionPipeline": AUTO_TEXT2IMAGE_PIPELINES_MAPPING["stable-diffusion"],
-    "StableDiffusionXLPipeline": AUTO_TEXT2IMAGE_PIPELINES_MAPPING["stable-diffusion-xl"],
-    "FluxPipeline": AUTO_TEXT2IMAGE_PIPELINES_MAPPING["flux"],
-    "DDPMPipeline": AUTO_TEXT2IMAGE_PIPELINES_MAPPING["ddpm"],
+AUTO_IMAGE2IMAGE_PIPELINES_MAPPING = OrderedDict(
+    [
+        ("stable-diffusion", _SD + "pipeline_stable_diffusion_img2img.StableDiffusionImg2ImgPipeline"),
+        ("stable-diffusion-xl", _SDXL + "pipeline_stable_diffusion_xl_img2img.StableDiffusionXLImg2ImgPipeline"),
+    ]
+)
+
+AUTO_INPAINT_PIPELINES_MAPPING = OrderedDict(
+    [
+        ("stable-diffusion", _SD + "pipeline_stable_diffusion_inpaint.StableDiffusionInpaintPipeline"),
+        ("stable-diffusion-xl", _SDXL + "pipeline_stable_diffusion_xl_inpaint.StableDiffusionXLInpaintPipeline"),
+    ]
+)
+
+# _class_name → model family (any task variant of a family normalizes to it,
+# like the reference's _get_task_class name surgery)
+_FAMILY_OF = {
+    "StableDiffusionPipeline": "stable-diffusion",
+    "StableDiffusionImg2ImgPipeline": "stable-diffusion",
+    "StableDiffusionInpaintPipeline": "stable-diffusion",
+    "StableDiffusionXLPipeline": "stable-diffusion-xl",
+    "StableDiffusionXLImg2ImgPipeline": "stable-diffusion-xl",
+    "StableDiffusionXLInpaintPipeline": "stable-diffusion-xl",
+    "StableDiffusion3Pipeline": "stable-diffusion-3",
+    "FluxPipeline": "flux",
+    "DDPMPipeline": "ddpm",
+    "StableDiffusionControlNetPipeline": "controlnet",
 }
 
 
@@ -37,8 +64,8 @@ def _import_class(path: str):
     return getattr(importlib.import_module(module_name), cls_name)
 
 
-class AutoPipelineForText2Image:
-    """`from_pretrained` resolves the pipeline class from model_index.json."""
+class _AutoPipelineBase:
+    _task_mapping: OrderedDict = AUTO_TEXT2IMAGE_PIPELINES_MAPPING
 
     def __init__(self, *args, **kwargs):
         raise EnvironmentError(
@@ -53,14 +80,22 @@ class AutoPipelineForText2Image:
         with open(os.path.join(root, "model_index.json")) as f:
             config = json.load(f)
         class_name = config["_class_name"]
-        if class_name not in _CLASS_NAME_TO_IMPL:
+        family = _FAMILY_OF.get(class_name)
+        if family is None or family not in cls._task_mapping:
             raise ValueError(
-                f"AutoPipelineForText2Image can't resolve {class_name!r}; known: {list(_CLASS_NAME_TO_IMPL)}"
+                f"{cls.__name__} can't resolve {class_name!r}; known families: {list(cls._task_mapping)}"
             )
-        pipeline_cls = _import_class(_CLASS_NAME_TO_IMPL[class_name])
+        pipeline_cls = _import_class(cls._task_mapping[family])
         return pipeline_cls.from_pretrained(root, **kwargs)
 
 
-class AutoPipelineForImage2Image(AutoPipelineForText2Image):
-    """Image2Image resolution (img2img pipeline variants land in round 2;
-    currently resolves the same families)."""
+class AutoPipelineForText2Image(_AutoPipelineBase):
+    _task_mapping = AUTO_TEXT2IMAGE_PIPELINES_MAPPING
+
+
+class AutoPipelineForImage2Image(_AutoPipelineBase):
+    _task_mapping = AUTO_IMAGE2IMAGE_PIPELINES_MAPPING
+
+
+class AutoPipelineForInpainting(_AutoPipelineBase):
+    _task_mapping = AUTO_INPAINT_PIPELINES_MAPPING

