@@ -105,6 +105,11 @@ class Attention(Module):
     # attribute: changing it retraces jit'd callers, matching the reference's
     # set_ip_adapter_scale semantics at attention_processor.py:4408)
     ip_adapter_scale: Optional[list] = None
+    # PAG: when True, a self-attention call uses the identity attention map
+    # (output = to_out(to_v(x)); reference PAGIdentitySelfAttnProcessor2_0,
+    # attention_processor.py:5043). Flipped at trace time by the PAG pipeline
+    # around its perturbed forward — the flag never costs anything per-step.
+    pag_identity: bool = False
 
     def __call__(
         self,
@@ -120,6 +125,14 @@ class Attention(Module):
 
         if self.group_norm is not None:
             hidden_states = self.group_norm(params["group_norm"], hidden_states)
+
+        if self.pag_identity and encoder_hidden_states is None:
+            # perturbed self-attention: identity attention map ⇒ output = V
+            out = self.to_v(params["to_v"], hidden_states)
+            out = self.to_out[0](params["to_out"][0], out)
+            if self.residual_connection:
+                out = out + residual
+            return out / self.rescale_output_factor
 
         context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         if self.norm_cross is not None and encoder_hidden_states is not None:
