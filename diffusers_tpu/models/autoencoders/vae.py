@@ -24,6 +24,7 @@ from ..unets.unet_2d_blocks import UNetMidBlock2D
 @dataclass
 class DecoderOutput(BaseOutput):
     sample: jax.Array
+    commit_loss: Optional[jax.Array] = None
 
 
 class DownEncoderBlock2D(Module):

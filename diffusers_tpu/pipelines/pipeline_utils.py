@@ -64,6 +64,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "WanTransformer3DModel": "diffusers_tpu.models.transformers.transformer_wan.WanTransformer3DModel",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
     "AutoencoderTiny": "diffusers_tpu.models.autoencoders.autoencoder_tiny.AutoencoderTiny",
+    "VQModel": "diffusers_tpu.models.autoencoders.vq_model.VQModel",
     "ControlNetModel": "diffusers_tpu.models.controlnets.controlnet.ControlNetModel",
     "PixArtTransformer2DModel": "diffusers_tpu.models.transformers.pixart_transformer_2d.PixArtTransformer2DModel",
 }
