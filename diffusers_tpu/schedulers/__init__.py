@@ -46,6 +46,11 @@ from .scheduling_dpmsolver_singlestep import (
     DPMSolverSinglestepSchedulerState,
 )
 from .scheduling_ipndm import IPNDMScheduler, IPNDMSchedulerOutput, IPNDMSchedulerState
+from .scheduling_consistency_models import (
+    CMStochasticIterativeScheduler,
+    CMStochasticIterativeSchedulerOutput,
+    CMStochasticIterativeSchedulerState,
+)
 from .scheduling_k_dpm_2_ancestral_discrete import (
     KDPM2AncestralDiscreteScheduler,
     KDPM2AncestralDiscreteSchedulerOutput,

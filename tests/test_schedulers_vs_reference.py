@@ -318,3 +318,35 @@ def test_kdpm2_ancestral_matches_reference():
         sample, state = out.prev_sample, out.state
     ours = np.asarray(sample)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_consistency_models_matches_reference():
+    import torch
+
+    from diffusers import CMStochasticIterativeScheduler as TorchCM
+
+    from diffusers_tpu.schedulers import CMStochasticIterativeScheduler
+
+    cfg = dict(num_train_timesteps=40, sigma_min=0.002, sigma_max=80.0, sigma_data=0.5)
+    num_steps = 8
+
+    sch_t = TorchCM(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sample_t = torch.from_numpy(dummy_sample_deter()) * sch_t.init_noise_sigma
+    for t in sch_t.timesteps:
+        inp = sch_t.scale_model_input(sample_t, t)
+        residual = inp * 0.1
+        sample_t = sch_t.step(residual, t, sample_t, generator=torch.manual_seed(3)).prev_sample
+    ref = sample_t.numpy()
+
+    sch = CMStochasticIterativeScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    sample = jnp.asarray(dummy_sample_deter()) * state.init_noise_sigma
+    for t in np.asarray(state.timesteps):
+        inp = sch.scale_model_input(state, sample, t)
+        residual = inp * 0.1
+        noise = jnp.asarray(torch.randn(tuple(sample.shape), generator=torch.manual_seed(3)).numpy())
+        out = sch.step(state, residual, t, sample, variance_noise=noise)
+        sample, state = out.prev_sample, out.state
+    ours = np.asarray(sample)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
