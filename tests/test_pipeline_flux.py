@@ -96,3 +96,21 @@ def test_flux_latent_output_deterministic():
     b = pipe("a cat", height=32, width=32, num_inference_steps=2, key=jax.random.PRNGKey(3),
              output_type="latent", return_dict=False)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flux_img2img():
+    from diffusers_tpu.pipelines.flux.pipeline_flux_img2img import FluxImg2ImgPipeline
+
+    base = get_dummy_pipeline()
+    pipe = FluxImg2ImgPipeline(**base.components)
+    image = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    out = pipe("a painting", image=image, strength=0.8, num_inference_steps=4,
+               guidance_scale=3.5, key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape[0] == 1 and out.images.shape[-1] == 3
+    assert np.isfinite(out.images).all()
+
+    # strength→1 behaves like pure noise start; low strength stays closer to input
+    near = pipe("a painting", image=image, strength=0.25, num_inference_steps=4,
+                guidance_scale=3.5, key=jax.random.PRNGKey(0), output_type="np").images
+    ref = ((image[0].transpose(1, 2, 0) + 1) / 2).clip(0, 1)
+    assert np.abs(near - ref).mean() < np.abs(out.images - ref).mean() + 0.5
