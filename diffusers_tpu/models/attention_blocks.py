@@ -182,6 +182,11 @@ class BasicTransformerBlock(Module):
         attention_mask: Optional[jax.Array] = None,
         encoder_attention_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        # Skip Layer Guidance: trace-time identity flag (reference
+        # hooks/layer_skip.py). See guiders/skip_layer_guidance.py.
+        if getattr(self, "layer_skip", False):
+            return hidden_states
+
         # IP-Adapter: encoder_hidden_states arrives as (text, ip_list) —
         # mirrors the reference's tuple contract (unet_2d_condition.py:975)
         ip_hidden_states = None

@@ -164,7 +164,14 @@ class JointTransformerBlock(Module):
             self.norm2_context = LayerNorm(dim, eps=1e-6, use_scale=False, use_bias=False)
             self.ff_context = FeedForward(dim=dim, dim_out=dim, activation_fn="gelu-approximate")
 
+    # Skip Layer Guidance: trace-time flag — when True the whole block is an
+    # identity (reference hooks/layer_skip.py via LayerSkipConfig; used by the
+    # SD3.5 SLG recipe). See guiders/skip_layer_guidance.py.
+    layer_skip: bool = False
+
     def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb):
+        if self.layer_skip:
+            return hidden_states, encoder_hidden_states
         if self.use_dual_attention:
             norm_hidden, gate_msa, shift_mlp, scale_mlp, gate_mlp, norm_hidden2, gate_msa2 = self.norm1(
                 params["norm1"], hidden_states, emb=temb

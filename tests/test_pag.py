@@ -86,3 +86,38 @@ def test_pag_guider_formula():
     out2 = g2(cond, uncond, skip, step=5, num_steps=10)
     expected2 = uncond + 5.0 * (cond - uncond)
     assert np.max(np.abs(np.asarray(out2 - expected2))) < 1e-6
+
+
+def test_skip_layer_guidance_on_sd3():
+    """layer_skip flag turns SD3 blocks into identities; SLG forward differs
+    from the plain conditional and the formula composes."""
+    from diffusers_tpu.guiders import SkipLayerGuidance, layers_skipped, select_skip_blocks
+    from diffusers_tpu.models.transformers.transformer_sd3 import SD3Transformer2DModel
+
+    model = SD3Transformer2DModel(
+        sample_size=8, patch_size=2, in_channels=4, num_layers=2,
+        attention_head_dim=8, num_attention_heads=2, joint_attention_dim=16,
+        caption_projection_dim=16, pooled_projection_dim=16, out_channels=4,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+    ehs = jnp.asarray(rng.randn(1, 6, 16).astype(np.float32))
+    pooled = jnp.asarray(rng.randn(1, 16).astype(np.float32))
+    t = jnp.asarray([500.0])
+
+    normal = np.asarray(model(params, x, ehs, pooled, t).sample)
+    blocks = select_skip_blocks(model, [1])
+    with layers_skipped(blocks):
+        skipped = np.asarray(model(params, x, ehs, pooled, t).sample)
+    after = np.asarray(model(params, x, ehs, pooled, t).sample)
+
+    assert np.max(np.abs(skipped - normal)) > 1e-4  # skipping changed the output
+    assert np.max(np.abs(after - normal)) < 1e-6  # flag is restored
+
+    g = SkipLayerGuidance(guidance_scale=4.0, skip_layer_guidance_scale=2.0,
+                          skip_layer_guidance_start=0.0, skip_layer_guidance_stop=1.0)
+    cond, uncond, skip = (jnp.asarray(rng.randn(1, 4).astype(np.float32)) for _ in range(3))
+    out = g(cond, uncond, skip, step=0, num_steps=10)
+    expected = uncond + 4.0 * (cond - uncond) + 2.0 * (cond - skip)
+    assert np.max(np.abs(np.asarray(out - expected))) < 1e-6
