@@ -231,3 +231,56 @@ def unload_ip_adapter(unet, params):
     unet.encoder_hid_proj = None
     unet._children.pop("encoder_hid_proj", None)
     return params
+
+
+class IPAdapterPipelineMixin:
+    """Pipeline-level IP-Adapter surface (reference
+    loaders/ip_adapter.py:IPAdapterMixin), shared by the SD / SDXL / PAG
+    pipelines. Expects `self.unet = (module, params)` and optional
+    `self.image_encoder = (module, params)` / `self.feature_extractor`."""
+
+    def load_ip_adapter(self, source, dtype=None):
+        unet, unet_params = self.unet
+        self.unet = (unet, load_ip_adapter(unet, unet_params, source, dtype=dtype))
+
+    def set_ip_adapter_scale(self, scale):
+        set_ip_adapter_scale(self.unet[0], scale)
+
+    def unload_ip_adapter(self):
+        unet, unet_params = self.unet
+        self.unet = (unet, unload_ip_adapter(unet, unet_params))
+
+    def prepare_ip_adapter_image_embeds(self, ip_adapter_image, batch_size: int, do_cfg: bool):
+        """Encode image(s) → per-adapter embeds [2B|B, num_images, ...]; the
+        CFG negative is the zero-image embedding (plus-variants re-encode a
+        black image for penultimate hidden states, like the reference)."""
+        import jax.numpy as jnp
+
+        from ..models.ip_adapter import IPAdapterPlusImageProjection
+
+        unet = self.unet[0]
+        image_encoder = getattr(self, "image_encoder", None)
+        if image_encoder is None or unet.encoder_hid_proj is None:
+            raise ValueError("load_ip_adapter() first, and register an image_encoder to pass raw images")
+        encoder, enc_params = image_encoder
+        if not isinstance(ip_adapter_image, (list, tuple)):
+            ip_adapter_image = [ip_adapter_image]
+
+        embeds = []
+        for layer, image in zip(unet.encoder_hid_proj.image_projection_layers, ip_adapter_image):
+            use_hidden = isinstance(layer, IPAdapterPlusImageProjection)
+            fe = getattr(self, "feature_extractor", None)
+            if fe is not None and not isinstance(image, (np.ndarray, jnp.ndarray)):
+                image = fe(image, return_tensors="np").pixel_values
+            pixels = jnp.asarray(image, dtype=jnp.float32)
+            if use_hidden:
+                pos = encoder(enc_params, pixels, output_hidden_states=True).hidden_states[-2]
+                neg = encoder(enc_params, jnp.zeros_like(pixels), output_hidden_states=True).hidden_states[-2]
+            else:
+                pos = encoder(enc_params, pixels).image_embeds
+                neg = jnp.zeros_like(pos)
+            pos = jnp.broadcast_to(pos[0][None], (batch_size,) + pos.shape[1:])
+            neg = jnp.broadcast_to(neg[0][None], (batch_size,) + neg.shape[1:])
+            e = jnp.concatenate([neg, pos], axis=0) if do_cfg else pos
+            embeds.append(e[:, None] if e.ndim == 2 else e[:, None, :, :])
+        return embeds

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...image_processor import VaeImageProcessor
+from ...loaders.ip_adapter import IPAdapterPipelineMixin
 from ...utils import BaseOutput, logging
 from ...utils.jax_utils import randn_tensor
 from ..pipeline_utils import DiffusionPipeline
@@ -35,7 +36,7 @@ class StableDiffusionPipelineOutput(BaseOutput):
     images: Union[List, np.ndarray]
 
 
-class StableDiffusionPipeline(DiffusionPipeline):
+class StableDiffusionPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
     _optional_components = ["safety_checker", "feature_extractor", "image_encoder"]
 
     def __init__(
@@ -64,59 +65,6 @@ class StableDiffusionPipeline(DiffusionPipeline):
         self.register_to_config(requires_safety_checker=requires_safety_checker)
         self.vae_scale_factor = 2 ** (len(self.vae[0].config.block_out_channels) - 1) if vae is not None else 8
         self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor)
-
-    # ------------------------------------------------------------ ip-adapter
-    def load_ip_adapter(self, source, dtype=None):
-        """Graft IP-Adapter weights into the UNet (reference
-        loaders/ip_adapter.py:IPAdapterMixin.load_ip_adapter). `source` is a
-        safetensors path or {'image_proj','ip_adapter'} dict (or a list for
-        multiple adapters)."""
-        from ...loaders.ip_adapter import load_ip_adapter as _load
-
-        unet, unet_params = self.unet
-        self.unet = (unet, _load(unet, unet_params, source, dtype=dtype))
-
-    def set_ip_adapter_scale(self, scale):
-        from ...loaders.ip_adapter import set_ip_adapter_scale as _set
-
-        _set(self.unet[0], scale)
-
-    def unload_ip_adapter(self):
-        from ...loaders.ip_adapter import unload_ip_adapter as _unload
-
-        unet, unet_params = self.unet
-        self.unet = (unet, _unload(unet, unet_params))
-
-    def prepare_ip_adapter_image_embeds(self, ip_adapter_image, batch_size: int, do_cfg: bool):
-        """Encode image(s) → per-adapter embeds [2B|B, num_images, ...] with
-        the CFG negative as zero-image embeds (reference
-        pipeline_stable_diffusion.py encode_image/prepare_ip_adapter_image_embeds)."""
-        from ...models.ip_adapter import IPAdapterPlusImageProjection
-
-        unet = self.unet[0]
-        if self.image_encoder is None or unet.encoder_hid_proj is None:
-            raise ValueError("load_ip_adapter() first, and register an image_encoder to pass raw images")
-        encoder, enc_params = self.image_encoder
-        if not isinstance(ip_adapter_image, (list, tuple)):
-            ip_adapter_image = [ip_adapter_image]
-
-        embeds = []
-        for layer, image in zip(unet.encoder_hid_proj.image_projection_layers, ip_adapter_image):
-            use_hidden = isinstance(layer, IPAdapterPlusImageProjection)
-            if self.feature_extractor is not None and not isinstance(image, (np.ndarray, jnp.ndarray)):
-                image = self.feature_extractor(image, return_tensors="np").pixel_values
-            pixels = jnp.asarray(image, dtype=jnp.float32)
-            if use_hidden:
-                pos = encoder(enc_params, pixels, output_hidden_states=True).hidden_states[-2]
-                neg = encoder(enc_params, jnp.zeros_like(pixels), output_hidden_states=True).hidden_states[-2]
-            else:
-                pos = encoder(enc_params, pixels).image_embeds
-                neg = jnp.zeros_like(pos)
-            pos = jnp.broadcast_to(pos[0][None], (batch_size,) + pos.shape[1:])
-            neg = jnp.broadcast_to(neg[0][None], (batch_size,) + neg.shape[1:])
-            e = jnp.concatenate([neg, pos], axis=0) if do_cfg else pos
-            embeds.append(e[:, None] if e.ndim == 2 else e[:, None, :, :])  # add num_images dim
-        return embeds
 
     # ------------------------------------------------------------ prompts
     def _tokenize(self, prompt: Union[str, List[str]]):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...image_processor import VaeImageProcessor
+from ...loaders.ip_adapter import IPAdapterPipelineMixin
 from ...utils import BaseOutput, logging
 from ...utils.jax_utils import randn_tensor
 from ..pipeline_utils import DiffusionPipeline
@@ -30,7 +31,7 @@ class StableDiffusionXLPipelineOutput(BaseOutput):
     images: Union[List, np.ndarray]
 
 
-class StableDiffusionXLPipeline(DiffusionPipeline):
+class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
     _optional_components = ["image_encoder", "feature_extractor"]
 
     def __init__(
@@ -109,7 +110,7 @@ class StableDiffusionXLPipeline(DiffusionPipeline):
 
     # ------------------------------------------------------------- denoise
     def _denoise(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents,
-                 guidance_scale, num_inference_steps, do_cfg):
+                 guidance_scale, num_inference_steps, do_cfg, image_embeds=None):
         unet = self.unet[0]
         scheduler = self.scheduler
         state = scheduler.set_timesteps(num_inference_steps)
@@ -126,7 +127,10 @@ class StableDiffusionXLPipeline(DiffusionPipeline):
                 latent_input,
                 jnp.broadcast_to(t, (latent_input.shape[0],)),
                 encoder_hidden_states=prompt_embeds,
-                added_cond_kwargs={"text_embeds": add_text_embeds, "time_ids": add_time_ids},
+                added_cond_kwargs=(
+                    {"text_embeds": add_text_embeds, "time_ids": add_time_ids}
+                    | ({"image_embeds": image_embeds} if image_embeds is not None else {})
+                ),
             ).sample
             if do_cfg:
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
@@ -151,6 +155,8 @@ class StableDiffusionXLPipeline(DiffusionPipeline):
         num_images_per_prompt: int = 1,
         key: Optional[jax.Array] = None,
         latents: Optional[jax.Array] = None,
+        ip_adapter_image=None,
+        ip_adapter_image_embeds: Optional[list] = None,
         original_size: Optional[Tuple[int, int]] = None,
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
@@ -190,10 +196,14 @@ class StableDiffusionXLPipeline(DiffusionPipeline):
         if latents is None:
             latents = randn_tensor(shape, key=key)
 
+        image_embeds = ip_adapter_image_embeds
+        if image_embeds is None and ip_adapter_image is not None:
+            image_embeds = self.prepare_ip_adapter_image_embeds(ip_adapter_image, batch_size, do_cfg)
+
         denoise = jax.jit(
             partial(self._denoise, guidance_scale=guidance_scale, num_inference_steps=num_inference_steps, do_cfg=do_cfg)
         )
-        latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents)
+        latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents, image_embeds=image_embeds)
 
         if output_type == "latent":
             image = latents

@@ -244,3 +244,37 @@ def test_sd_pipeline_with_ip_adapter():
     pipe.unload_ip_adapter()
     unloaded = pipe("a photo of a cat", **kwargs).images
     assert np.abs(unloaded - base).max() < 1e-6
+
+
+def test_sdxl_pipeline_with_ip_adapter():
+    import jax
+
+    from diffusers_tpu.loaders.ip_adapter import _iter_cross_attention_paths
+    from test_pipeline_sdxl import get_dummy_pipeline as get_sdxl_pipeline
+
+    pipe = get_sdxl_pipeline()
+    kwargs = dict(num_inference_steps=2, guidance_scale=5.0, key=jax.random.PRNGKey(0), output_type="np")
+    base = pipe("a cat", **kwargs).images
+
+    unet = pipe.unet[0]
+    cross_dim = unet.config.cross_attention_dim
+    clip_dim = 8
+    rng = np.random.RandomState(0)
+    ip_sd = {
+        "image_proj": {
+            "proj.weight": rng.randn(4 * cross_dim, clip_dim).astype(np.float32) * 0.05,
+            "proj.bias": np.zeros(4 * cross_dim, np.float32),
+            "norm.weight": np.ones(cross_dim, np.float32),
+            "norm.bias": np.zeros(cross_dim, np.float32),
+        },
+        "ip_adapter": {},
+    }
+    for n, (_, attn) in enumerate(_iter_cross_attention_paths(unet)):
+        ip_sd["ip_adapter"][f"{2 * n + 1}.to_k_ip.weight"] = rng.randn(attn.inner_kv_dim, cross_dim).astype(np.float32) * 0.05
+        ip_sd["ip_adapter"][f"{2 * n + 1}.to_v_ip.weight"] = rng.randn(attn.inner_kv_dim, cross_dim).astype(np.float32) * 0.05
+
+    pipe.load_ip_adapter(ip_sd)
+    embeds = [jnp.asarray(rng.randn(2, 1, clip_dim).astype(np.float32))]
+    out = pipe("a cat", ip_adapter_image_embeds=embeds, **kwargs).images
+    assert out.shape == base.shape and np.isfinite(out).all()
+    assert np.abs(out - base).max() > 1e-5
