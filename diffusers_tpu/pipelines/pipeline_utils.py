@@ -59,6 +59,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "KDPM2AncestralDiscreteScheduler": "diffusers_tpu.schedulers.scheduling_k_dpm_2_ancestral_discrete.KDPM2AncestralDiscreteScheduler",
     "IPNDMScheduler": "diffusers_tpu.schedulers.scheduling_ipndm.IPNDMScheduler",
     "CMStochasticIterativeScheduler": "diffusers_tpu.schedulers.scheduling_consistency_models.CMStochasticIterativeScheduler",
+    "EDMDPMSolverMultistepScheduler": "diffusers_tpu.schedulers.scheduling_edm_dpmsolver_multistep.EDMDPMSolverMultistepScheduler",
     "DDIMInverseScheduler": "diffusers_tpu.schedulers.scheduling_ddim_inverse.DDIMInverseScheduler",
     "EDMEulerScheduler": "diffusers_tpu.schedulers.scheduling_edm_euler.EDMEulerScheduler",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",

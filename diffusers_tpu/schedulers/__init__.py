@@ -51,6 +51,11 @@ from .scheduling_consistency_models import (
     CMStochasticIterativeSchedulerOutput,
     CMStochasticIterativeSchedulerState,
 )
+from .scheduling_edm_dpmsolver_multistep import (
+    EDMDPMSolverMultistepScheduler,
+    EDMDPMSolverMultistepSchedulerOutput,
+    EDMDPMSolverMultistepSchedulerState,
+)
 from .scheduling_k_dpm_2_ancestral_discrete import (
     KDPM2AncestralDiscreteScheduler,
     KDPM2AncestralDiscreteSchedulerOutput,

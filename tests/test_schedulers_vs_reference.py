@@ -350,3 +350,26 @@ def test_consistency_models_matches_reference():
         sample, state = out.prev_sample, out.state
     ours = np.asarray(sample)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_edm_dpmsolver_multistep_matches_reference():
+    from diffusers import EDMDPMSolverMultistepScheduler as TorchEDMDPM
+
+    from diffusers_tpu.schedulers import EDMDPMSolverMultistepScheduler
+
+    cfg = dict(sigma_min=0.002, sigma_max=80.0, sigma_data=0.5)
+    ref = run_reference(TorchEDMDPM, cfg, scale_input=True)
+    ours = run_ours(EDMDPMSolverMultistepScheduler, cfg, scale_input=True)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_edm_dpmsolver_multistep_sigma_min_final():
+    from diffusers import EDMDPMSolverMultistepScheduler as TorchEDMDPM
+
+    from diffusers_tpu.schedulers import EDMDPMSolverMultistepScheduler
+
+    cfg = dict(sigma_min=0.002, sigma_max=80.0, sigma_data=0.5, final_sigmas_type="sigma_min",
+               lower_order_final=False)
+    ref = run_reference(TorchEDMDPM, cfg, num_steps=12, scale_input=True)
+    ours = run_ours(EDMDPMSolverMultistepScheduler, cfg, num_steps=12, scale_input=True)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
