@@ -132,3 +132,34 @@ def test_callback_results_differ_from_no_callback():
     b = pipe("a cat", num_inference_steps=4, guidance_scale=6.0, key=jax.random.PRNGKey(0), output_type="np",
              callback_on_step_end=SDCFGCutoffCallback(cutoff_step_ratio=0.25)).images
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_latent_consistency_pipeline():
+    """LCM pipeline: w-embedding conditioning, no CFG, denoised-output decode."""
+    from diffusers_tpu.pipelines.latent_consistency_models import LatentConsistencyModelPipeline
+    from diffusers_tpu.schedulers import LCMScheduler
+
+    key = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(
+        sample_size=8, in_channels=4, out_channels=4,
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        block_out_channels=(8, 16), layers_per_block=1, attention_head_dim=2,
+        cross_attention_dim=16, norm_num_groups=4, time_cond_proj_dim=32,
+    )
+    unet_params = unet.init_params(key)
+    base = __import__("test_pipeline_stable_diffusion").get_dummy_pipeline()
+    pipe = LatentConsistencyModelPipeline(
+        vae=base.vae, text_encoder=base.text_encoder, tokenizer=base.tokenizer,
+        unet=(unet, unet_params),
+        scheduler=LCMScheduler(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear"),
+    )
+    out = pipe("a photo of a cat", num_inference_steps=4, guidance_scale=8.0,
+               key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
+
+    # guidance scale must flow through the w-embedding (different w → different image)
+    out2 = pipe("a photo of a cat", num_inference_steps=4, guidance_scale=2.0,
+                key=jax.random.PRNGKey(0), output_type="np")
+    assert np.abs(out.images - out2.images).max() > 1e-6
