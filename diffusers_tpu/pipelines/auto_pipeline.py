@@ -52,8 +52,11 @@ _FAMILY_OF = {
     "StableDiffusionXLInpaintPipeline": "stable-diffusion-xl",
     "StableDiffusion3Pipeline": "stable-diffusion-3",
     "FluxPipeline": "flux",
+    "FluxImg2ImgPipeline": "flux",
     "DDPMPipeline": "ddpm",
     "StableDiffusionControlNetPipeline": "controlnet",
+    "StableDiffusionPAGPipeline": "stable-diffusion",
+    "LatentConsistencyModelPipeline": "stable-diffusion",
 }
 
 
