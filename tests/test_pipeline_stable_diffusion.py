@@ -163,3 +163,25 @@ def test_latent_consistency_pipeline():
     out2 = pipe("a photo of a cat", num_inference_steps=4, guidance_scale=2.0,
                 key=jax.random.PRNGKey(0), output_type="np")
     assert np.abs(out.images - out2.images).max() > 1e-6
+
+
+def test_tcd_pipeline():
+    """TCD pipeline: gamma-stochastic consistency sampling, w-embedding optional."""
+    from diffusers_tpu.pipelines.tcd import TCDPipeline
+    from diffusers_tpu.schedulers import TCDScheduler
+
+    base = get_dummy_pipeline()
+    pipe = TCDPipeline(
+        vae=base.vae, text_encoder=base.text_encoder, tokenizer=base.tokenizer,
+        unet=base.unet,
+        scheduler=TCDScheduler(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear"),
+    )
+    out = pipe("a photo of a cat", num_inference_steps=4, eta=0.3,
+               key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
+
+    # eta=0 is the deterministic trajectory — different from gamma-stochastic
+    det = pipe("a photo of a cat", num_inference_steps=4, eta=0.0,
+               key=jax.random.PRNGKey(0), output_type="np")
+    assert np.abs(det.images - out.images).max() > 1e-6
