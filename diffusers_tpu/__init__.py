@@ -58,7 +58,13 @@ from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl_img2img import 
 from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl_inpaint import StableDiffusionXLInpaintPipeline
 
 # guiders
-from .guiders import AdaptiveProjectedGuidance, ClassifierFreeGuidance, ClassifierFreeZeroStarGuidance
+from .guiders import (
+    AdaptiveProjectedGuidance,
+    ClassifierFreeGuidance,
+    ClassifierFreeZeroStarGuidance,
+    PerturbedAttentionGuidance,
+    SkipLayerGuidance,
+)
 
 # processors
 from .image_processor import VaeImageProcessor
