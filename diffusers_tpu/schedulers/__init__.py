@@ -51,6 +51,7 @@ from .scheduling_consistency_models import (
     CMStochasticIterativeSchedulerOutput,
     CMStochasticIterativeSchedulerState,
 )
+from .scheduling_repaint import RePaintScheduler, RePaintSchedulerOutput, RePaintSchedulerState
 from .scheduling_edm_dpmsolver_multistep import (
     EDMDPMSolverMultistepScheduler,
     EDMDPMSolverMultistepSchedulerOutput,

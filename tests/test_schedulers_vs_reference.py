@@ -373,3 +373,53 @@ def test_edm_dpmsolver_multistep_sigma_min_final():
     ref = run_reference(TorchEDMDPM, cfg, num_steps=12, scale_input=True)
     ours = run_ours(EDMDPMSolverMultistepScheduler, cfg, num_steps=12, scale_input=True)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_repaint_matches_reference():
+    """Full RePaint resampling loop (steps + undo jumps) vs the reference."""
+    import torch
+
+    from diffusers import RePaintScheduler as TorchRePaint
+
+    from diffusers_tpu.schedulers import RePaintScheduler
+
+    cfg = dict(beta_start=0.0001, beta_end=0.02, beta_schedule="linear", eta=0.0)
+    num_steps, jump_length, jump_n = 25, 5, 2
+
+    sch_t = TorchRePaint(**cfg)
+    sch_t.set_timesteps(num_steps, jump_length, jump_n)
+    sch = RePaintScheduler(**cfg)
+    state = sch.set_timesteps(num_steps, jump_length, jump_n)
+    assert np.array_equal(np.asarray(state.timesteps), sch_t.timesteps.numpy())
+
+    sample_np = dummy_sample_deter()
+    original = dummy_sample_deter() * 0.5
+    mask_np = np.zeros_like(sample_np)
+    mask_np[:, :, :4] = 1.0
+
+    sample_t = torch.from_numpy(sample_np.copy())
+    orig_t, mask_t = torch.from_numpy(original.copy()), torch.from_numpy(mask_np.copy())
+    sample = jnp.asarray(sample_np)
+    orig, mask = jnp.asarray(original), jnp.asarray(mask_np)
+
+    ts = sch_t.timesteps.numpy()
+    seed = 0
+    n_sub = 1000 // num_steps
+    for i, t in enumerate(ts):
+        t_prev = ts[i - 1] if i > 0 else t + 1
+        if t < t_prev:  # reverse (denoise) step
+            residual_t = sample_t * float(t) / (float(t) + 1)
+            residual = sample * float(t) / (float(t) + 1)
+            noise = torch.randn(tuple(sample_np.shape), generator=torch.manual_seed(seed))
+            sample_t = sch_t.step(residual_t, int(t), sample_t, orig_t, mask_t,
+                                  generator=torch.manual_seed(seed)).prev_sample
+            sample = sch.step(state, residual, int(t), sample, orig, mask,
+                              variance_noise=jnp.asarray(noise.numpy())).prev_sample
+        else:  # forward jump
+            g = torch.manual_seed(seed)
+            noises = torch.stack([torch.randn(tuple(sample_np.shape), generator=g) for _ in range(n_sub)])
+            sample_t = sch_t.undo_step(sample_t, int(t_prev), generator=torch.manual_seed(seed))
+            sample = sch.undo_step(state, sample, int(t_prev), noises=jnp.asarray(noises.numpy()))
+        seed += 1
+
+    assert np.max(np.abs(np.asarray(sample) - sample_t.numpy())) < 1e-3
