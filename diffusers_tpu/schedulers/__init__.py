@@ -52,6 +52,7 @@ from .scheduling_consistency_models import (
     CMStochasticIterativeSchedulerState,
 )
 from .scheduling_repaint import RePaintScheduler, RePaintSchedulerOutput, RePaintSchedulerState
+from .scheduling_unclip import UnCLIPScheduler, UnCLIPSchedulerOutput, UnCLIPSchedulerState
 from .scheduling_edm_dpmsolver_multistep import (
     EDMDPMSolverMultistepScheduler,
     EDMDPMSolverMultistepSchedulerOutput,

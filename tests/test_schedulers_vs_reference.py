@@ -423,3 +423,40 @@ def test_repaint_matches_reference():
         seed += 1
 
     assert np.max(np.abs(np.asarray(sample) - sample_t.numpy())) < 1e-3
+
+
+def test_unclip_matches_reference():
+    """UnCLIP loop with explicit prev_timestep (karlo prior convention)."""
+    import torch
+
+    from diffusers import UnCLIPScheduler as TorchUnCLIP
+
+    from diffusers_tpu.schedulers import UnCLIPScheduler
+
+    for variance_type in ("fixed_small_log", "learned_range"):
+        num_steps = 10
+        sch_t = TorchUnCLIP(variance_type=variance_type)
+        sch_t.set_timesteps(num_steps)
+        sch = UnCLIPScheduler(variance_type=variance_type)
+        state = sch.set_timesteps(num_steps)
+        assert np.array_equal(np.asarray(state.timesteps), sch_t.timesteps.numpy())
+
+        sample_t = torch.from_numpy(dummy_sample_deter())
+        sample = jnp.asarray(dummy_sample_deter())
+        ts = sch_t.timesteps.numpy()
+        for i, t in enumerate(ts):
+            prev_t = int(ts[i + 1]) if i + 1 < len(ts) else None
+            residual_t = sample_t * float(t) / (float(t) + 1)
+            if variance_type == "learned_range":  # model predicts variance too
+                residual_t = torch.cat([residual_t, 0.1 * torch.ones_like(residual_t)], dim=1)
+            noise = torch.randn(tuple(sample_t.shape), generator=torch.manual_seed(i))
+            sample_t = sch_t.step(residual_t, int(t), sample_t, prev_timestep=prev_t,
+                                  generator=torch.manual_seed(i)).prev_sample
+
+            residual = sample * float(t) / (float(t) + 1)
+            if variance_type == "learned_range":
+                residual = jnp.concatenate([residual, 0.1 * jnp.ones_like(residual)], axis=1)
+            sample = sch.step(state, residual, int(t), sample, prev_timestep=prev_t,
+                              variance_noise=jnp.asarray(noise.numpy())).prev_sample
+        err = np.max(np.abs(np.asarray(sample) - sample_t.numpy()))
+        assert err < 1e-3, (variance_type, err)
