@@ -60,6 +60,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "IPNDMScheduler": "diffusers_tpu.schedulers.scheduling_ipndm.IPNDMScheduler",
     "CMStochasticIterativeScheduler": "diffusers_tpu.schedulers.scheduling_consistency_models.CMStochasticIterativeScheduler",
     "EDMDPMSolverMultistepScheduler": "diffusers_tpu.schedulers.scheduling_edm_dpmsolver_multistep.EDMDPMSolverMultistepScheduler",
+    "RePaintScheduler": "diffusers_tpu.schedulers.scheduling_repaint.RePaintScheduler",
+    "UnCLIPScheduler": "diffusers_tpu.schedulers.scheduling_unclip.UnCLIPScheduler",
+    "SASolverScheduler": "diffusers_tpu.schedulers.scheduling_sasolver.SASolverScheduler",
     "DDIMInverseScheduler": "diffusers_tpu.schedulers.scheduling_ddim_inverse.DDIMInverseScheduler",
     "EDMEulerScheduler": "diffusers_tpu.schedulers.scheduling_edm_euler.EDMEulerScheduler",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",

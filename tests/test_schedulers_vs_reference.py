@@ -460,3 +460,35 @@ def test_unclip_matches_reference():
                               variance_noise=jnp.asarray(noise.numpy())).prev_sample
         err = np.max(np.abs(np.asarray(sample) - sample_t.numpy()))
         assert err < 1e-3, (variance_type, err)
+
+
+def test_sasolver_matches_reference():
+    """SA-Solver predictor-corrector loop with matched noise draws."""
+    import torch
+
+    from diffusers import SASolverScheduler as TorchSA
+
+    from diffusers_tpu.schedulers import SASolverScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear")
+    num_steps = 10
+
+    sch_t = TorchSA(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sample_t = torch.from_numpy(dummy_sample_deter())
+    for i, t in enumerate(sch_t.timesteps):
+        residual = sample_t * float(t) / (float(t) + 1)
+        sample_t = sch_t.step(residual, t, sample_t, generator=torch.manual_seed(i)).prev_sample
+    ref = sample_t.numpy()
+
+    sch = SASolverScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    assert np.array_equal(np.asarray(state.timesteps), sch_t.timesteps.numpy())
+    sample = jnp.asarray(dummy_sample_deter())
+    for i, t in enumerate(np.asarray(state.timesteps)):
+        residual = sample * float(t) / (float(t) + 1)
+        noise = torch.randn(tuple(sample.shape), generator=torch.manual_seed(i))
+        out = sch.step(state, residual, t, sample, variance_noise=jnp.asarray(noise.numpy()))
+        sample, state = out.prev_sample, out.state
+    ours = np.asarray(sample)
+    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
