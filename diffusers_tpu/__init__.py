@@ -72,7 +72,9 @@ from .image_processor import VaeImageProcessor
 # additional models / pipelines / subsystems
 from .models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
 from .models.autoencoders.autoencoder_tiny import AutoencoderTiny
+from .models.autoencoders.autoencoder_dc import AutoencoderDC
 from .models.autoencoders.vq_model import VQModel
+from .models.transformers.sana_transformer import SanaTransformer2DModel
 from .models.controlnets.controlnet import ControlNetModel
 from .models.transformers.transformer_wan import WanTransformer3DModel
 from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline

@@ -71,6 +71,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderTiny": "diffusers_tpu.models.autoencoders.autoencoder_tiny.AutoencoderTiny",
     "VQModel": "diffusers_tpu.models.autoencoders.vq_model.VQModel",
     "AutoencoderDC": "diffusers_tpu.models.autoencoders.autoencoder_dc.AutoencoderDC",
+    "SanaTransformer2DModel": "diffusers_tpu.models.transformers.sana_transformer.SanaTransformer2DModel",
     "ControlNetModel": "diffusers_tpu.models.controlnets.controlnet.ControlNetModel",
     "PixArtTransformer2DModel": "diffusers_tpu.models.transformers.pixart_transformer_2d.PixArtTransformer2DModel",
 }
