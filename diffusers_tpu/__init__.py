@@ -51,6 +51,7 @@ from .pipelines.pipeline_utils import DiffusionPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion import StableDiffusionPipeline
 from .pipelines.flux.pipeline_flux_img2img import FluxImg2ImgPipeline
 from .pipelines.latent_consistency_models import LatentConsistencyModelPipeline
+from .pipelines.sana import SanaPipeline
 from .pipelines.tcd import TCDPipeline
 from .pipelines.pag.pipeline_pag_sd import StableDiffusionPAGPipeline
 from .pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl import StableDiffusionXLPipeline

@@ -61,3 +61,44 @@ def test_sana_transformer_guidance_parity():
         ).sample.numpy()
     out = np.asarray(ours(params, jnp.asarray(x), jnp.asarray(ehs), jnp.asarray(t), guidance=jnp.asarray(g)).sample)
     assert np.max(np.abs(out - ref_out)) < 5e-4, np.max(np.abs(out - ref_out))
+
+
+def test_sana_pipeline_smoke():
+    """End-to-end Sana pipeline: transformer scan + DC-AE decode, precomputed
+    prompt embeds (fully device-side path)."""
+    import jax
+
+    from diffusers_tpu.models.autoencoders.autoencoder_dc import AutoencoderDC
+    from diffusers_tpu.models.transformers.sana_transformer import SanaTransformer2DModel
+    from diffusers_tpu.pipelines.sana import SanaPipeline
+    from diffusers_tpu.schedulers import FlowMatchEulerDiscreteScheduler
+
+    key = jax.random.PRNGKey(0)
+    transformer = SanaTransformer2DModel(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_cross_attention_heads=2, cross_attention_head_dim=8,
+        cross_attention_dim=16, caption_channels=12, mlp_ratio=2.0, sample_size=4, patch_size=1,
+    )
+    t_params = transformer.init_params(key)
+    vae = AutoencoderDC(
+        in_channels=3, latent_channels=4, attention_head_dim=8,
+        encoder_block_types="ResBlock", decoder_block_types="ResBlock",
+        encoder_block_out_channels=(8, 8), decoder_block_out_channels=(8, 8),
+        encoder_layers_per_block=(1, 1), decoder_layers_per_block=(1, 1),
+        encoder_qkv_multiscales=((), ()), decoder_qkv_multiscales=((), ()),
+    )
+    v_params = vae.init_params(key)
+    pipe = SanaPipeline(
+        transformer=(transformer, t_params), vae=(vae, v_params),
+        scheduler=FlowMatchEulerDiscreteScheduler(shift=3.0),
+    )
+
+    rng = np.random.RandomState(0)
+    embeds = jnp.asarray(rng.randn(2, 6, 12).astype(np.float32))  # [2B cfg, S, D]
+    mask = jnp.ones((2, 6), dtype=jnp.int32)
+    out = pipe(
+        prompt_embeds=embeds, prompt_attention_mask=mask, height=8, width=8,
+        num_inference_steps=2, guidance_scale=4.0, key=jax.random.PRNGKey(0), output_type="np",
+    )
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
