@@ -54,6 +54,7 @@ from .scheduling_consistency_models import (
 from .scheduling_repaint import RePaintScheduler, RePaintSchedulerOutput, RePaintSchedulerState
 from .scheduling_unclip import UnCLIPScheduler, UnCLIPSchedulerOutput, UnCLIPSchedulerState
 from .scheduling_sasolver import SASolverScheduler, SASolverSchedulerOutput, SASolverSchedulerState
+from .scheduling_parallel import DDIMParallelScheduler, DDPMParallelScheduler
 from .scheduling_edm_dpmsolver_multistep import (
     EDMDPMSolverMultistepScheduler,
     EDMDPMSolverMultistepSchedulerOutput,

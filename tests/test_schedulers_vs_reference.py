@@ -492,3 +492,44 @@ def test_sasolver_matches_reference():
         sample, state = out.prev_sample, out.state
     ours = np.asarray(sample)
     assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
+
+
+def test_parallel_schedulers_match_reference():
+    """ParaDiGMS batch_step_no_noise vs reference on a window of timesteps."""
+    import torch
+
+    from diffusers import DDIMParallelScheduler as TorchDDIMP, DDPMParallelScheduler as TorchDDPMP
+
+    from diffusers_tpu.schedulers import DDIMParallelScheduler, DDPMParallelScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear", clip_sample=False)
+    num_steps = 10
+    rng = np.random.RandomState(0)
+    window = 4
+    sample = rng.randn(window, 3, 8, 8).astype(np.float32)
+    model_out = rng.randn(window, 3, 8, 8).astype(np.float32)
+
+    for TorchCls, OurCls in ((TorchDDPMP, DDPMParallelScheduler), (TorchDDIMP, DDIMParallelScheduler)):
+        sch_t = TorchCls(**cfg)
+        sch_t.set_timesteps(num_steps)
+        ts = sch_t.timesteps[:window].clone()
+        ref = sch_t.batch_step_no_noise(torch.from_numpy(model_out), ts, torch.from_numpy(sample)).numpy()
+
+        sch = OurCls(**cfg)
+        state = sch.set_timesteps(num_steps)
+        ours = np.asarray(
+            sch.batch_step_no_noise(state, jnp.asarray(model_out), jnp.asarray(np.asarray(ts)), jnp.asarray(sample))
+        )
+        assert np.max(np.abs(ref - ours)) < 1e-4, (TorchCls.__name__, np.max(np.abs(ref - ours)))
+
+    # sequential step inherited unchanged
+    from diffusers import DDIMScheduler as TorchDDIM
+
+    sch_t = TorchDDIM(**cfg)
+    sch_t.set_timesteps(num_steps)
+    sch = DDIMParallelScheduler(**cfg)
+    state = sch.set_timesteps(num_steps)
+    t = int(np.asarray(state.timesteps)[0])
+    ref = sch_t.step(torch.from_numpy(model_out[:1]), t, torch.from_numpy(sample[:1])).prev_sample.numpy()
+    ours = np.asarray(sch.step(state, jnp.asarray(model_out[:1]), t, jnp.asarray(sample[:1])).prev_sample)
+    assert np.max(np.abs(ref - ours)) < 1e-4
