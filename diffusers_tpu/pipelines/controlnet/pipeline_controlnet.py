@@ -125,7 +125,8 @@ class StableDiffusionControlNetPipeline(StableDiffusionPipeline):
         if latents is None:
             latents = randn_tensor(shape, key=key)
 
-        denoise = jax.jit(
+        denoise = self._jit(
+            "denoise",
             partial(
                 self._denoise_controlnet,
                 guidance_scale=guidance_scale,
@@ -133,14 +134,15 @@ class StableDiffusionControlNetPipeline(StableDiffusionPipeline):
                 do_cfg=do_cfg,
                 conditioning_scale=controlnet_conditioning_scale,
                 guess_mode=guess_mode,
-            )
+            ),
+            static=(guidance_scale, num_inference_steps, do_cfg, controlnet_conditioning_scale, guess_mode),
         )
         latents = denoise(unet_params, cn_params, prompt_embeds, latents, cond)
 
         if output_type == "latent":
             image_out = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image_out = decode(vae_params, latents)
             image_out = self.image_processor.postprocess(image_out, output_type=output_type)
 

@@ -77,9 +77,11 @@ class DDPMPipeline(DiffusionPipeline):
         else:
             image_shape = (model.config.in_channels, *sample_size)
 
-        generate = jax.jit(
+        generate = self._jit(
+            "generate",
             partial(self._generate, batch_size=batch_size, num_inference_steps=num_inference_steps,
-                    image_shape=image_shape)
+                    image_shape=image_shape),
+            static=(batch_size, num_inference_steps, image_shape),
         )
         image = generate(self.unet[1], key)
         image = np.asarray(image)

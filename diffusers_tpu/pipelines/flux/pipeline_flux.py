@@ -137,14 +137,15 @@ class FluxPipeline(DiffusionPipeline):
         timesteps: jax.Array,
         state,
         guidance: Optional[jax.Array],
+        pab_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        cache_cfg = getattr(self, "_cache_config", None)
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        def forward(latents, t):
             timestep = jnp.broadcast_to(t, (latents.shape[0],)) / 1000.0
-            noise_pred = transformer(
+            return transformer(
                 transformer_params,
                 latents,
                 encoder_hidden_states=prompt_embeds,
@@ -153,11 +154,109 @@ class FluxPipeline(DiffusionPipeline):
                 guidance=guidance,
                 image_rotary_emb=(rope_cos, rope_sin),
             ).sample
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
-        return latents
+        if cache_cfg is None:
+            def step_fn(carry, t):
+                latents, sstate = carry
+                noise_pred = forward(latents, t)
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state), None
+
+            (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
+            return latents
+
+        from ...hooks.first_block_cache import FirstBlockCacheConfig, flux_forward_with_fbc, init_fbc_state
+        from ...hooks.taylorseer import (
+            TaylorSeerCacheConfig,
+            init_taylorseer_state,
+            taylorseer_apply,
+            taylorseer_compute_mask,
+        )
+
+        num_steps = timesteps.shape[0]
+        if isinstance(cache_cfg, TaylorSeerCacheConfig):
+            # compute/predict pattern is schedule-only → host-precomputed mask
+            mask = jnp.asarray(taylorseer_compute_mask(num_steps, cache_cfg))
+            ts_state = init_taylorseer_state(latents.shape, cache_cfg.max_order, latents.dtype)
+
+            def step_fn(carry, xs):
+                latents, sstate, ts_state = carry
+                t, idx, compute = xs
+                noise_pred, ts_state = taylorseer_apply(
+                    ts_state, idx, compute, lambda: forward(latents, t)
+                )
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, ts_state), None
+
+            xs = (timesteps, jnp.arange(num_steps, dtype=jnp.int32), mask)
+            (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, ts_state), xs)
+            return latents
+
+        if isinstance(cache_cfg, FirstBlockCacheConfig):
+            batch = latents.shape[0]
+            img_seq, txt_seq = latents.shape[1], prompt_embeds.shape[1]
+            inner_dim = transformer.inner_dim
+            fbc0 = init_fbc_state(
+                (batch, img_seq, inner_dim), (batch, txt_seq, inner_dim), dtype=latents.dtype
+            )
+
+            def step_fn(carry, t):
+                latents, sstate, fbc_state = carry
+                timestep = jnp.broadcast_to(t, (batch,)) / 1000.0
+                noise_pred, fbc_state = flux_forward_with_fbc(
+                    transformer,
+                    transformer_params,
+                    fbc_state,
+                    cache_cfg,
+                    latents,
+                    prompt_embeds,
+                    pooled_prompt_embeds,
+                    timestep,
+                    (rope_cos, rope_sin),
+                    guidance=guidance,
+                )
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, fbc_state), None
+
+            (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, fbc0), timesteps)
+            return latents
+
+        from ...hooks.pyramid_attention_broadcast import PyramidAttentionBroadcastConfig
+
+        if isinstance(cache_cfg, PyramidAttentionBroadcastConfig):
+            batch = latents.shape[0]
+            img_seq, txt_seq = latents.shape[1], prompt_embeds.shape[1]
+            inner = transformer.inner_dim
+            n_dual = len(transformer.transformer_blocks)
+            n_single = len(transformer.single_transformer_blocks)
+            pab0 = {
+                "dual_attn": jnp.zeros((n_dual, batch, img_seq, inner), latents.dtype),
+                "dual_ctx": jnp.zeros((n_dual, batch, txt_seq, inner), latents.dtype),
+                "single_attn": jnp.zeros((n_single, batch, txt_seq + img_seq, inner), latents.dtype),
+            }
+
+            def step_fn(carry, xs):
+                latents, sstate, pab_cache = carry
+                t, compute = xs
+                timestep = jnp.broadcast_to(t, (latents.shape[0],)) / 1000.0
+                noise_pred, pab_cache = transformer(
+                    transformer_params,
+                    latents,
+                    encoder_hidden_states=prompt_embeds,
+                    pooled_projections=pooled_prompt_embeds,
+                    timestep=timestep,
+                    guidance=guidance,
+                    image_rotary_emb=(rope_cos, rope_sin),
+                    pab_compute=compute,
+                    pab_cache=pab_cache,
+                )
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, pab_cache), None
+
+            (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, pab0), (timesteps, pab_mask))
+            return latents
+
+        raise ValueError(f"FluxPipeline does not support cache config {type(cache_cfg).__name__}")
 
     # ------------------------------------------------------------- __call__
     def __call__(
@@ -225,7 +324,20 @@ class FluxPipeline(DiffusionPipeline):
         if transformer.config.guidance_embeds:
             guidance = jnp.full((batch_size,), guidance_scale, dtype=jnp.float32)
 
-        denoise = jax.jit(self._denoise)
+        pab_mask = None
+        cache_cfg = getattr(self, "_cache_config", None)
+        if cache_cfg is not None and type(cache_cfg).__name__ == "PyramidAttentionBroadcastConfig":
+            from ...hooks.pyramid_attention_broadcast import pab_compute_mask
+
+            pab_mask = jnp.asarray(
+                pab_compute_mask(
+                    np.asarray(state.timesteps),
+                    cache_cfg.spatial_attention_block_skip_range,
+                    cache_cfg.spatial_attention_timestep_skip_range,
+                )
+            )
+
+        denoise = self._jit("denoise", self._denoise)
         latents = denoise(
             transformer_params,
             latents,
@@ -236,6 +348,7 @@ class FluxPipeline(DiffusionPipeline):
             state.timesteps,
             state,
             guidance,
+            pab_mask,
         )
 
         if output_type == "latent":
@@ -249,7 +362,7 @@ class FluxPipeline(DiffusionPipeline):
                     z = z + vae.config.shift_factor
                 return vae.decode(p, z).sample
 
-            image = jax.jit(decode)(vae_params, latents)
+            image = self._jit("decode", decode)(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 
         if not return_dict:

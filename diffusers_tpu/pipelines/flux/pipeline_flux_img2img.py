@@ -102,7 +102,7 @@ class FluxImg2ImgPipeline(FluxPipeline):
         if transformer.config.guidance_embeds:
             guidance = jnp.full((batch_size,), guidance_scale, dtype=jnp.float32)
 
-        denoise = jax.jit(self._denoise)
+        denoise = self._jit("denoise", self._denoise)
         latents = denoise(
             transformer_params, latents, prompt_embeds, pooled_prompt_embeds,
             jnp.asarray(rope_cos), jnp.asarray(rope_sin), timesteps, state, guidance,
@@ -119,7 +119,7 @@ class FluxImg2ImgPipeline(FluxPipeline):
                     z = z + vae.config.shift_factor
                 return vae.decode(p, z).sample
 
-            out_image = jax.jit(decode)(vae_params, latents)
+            out_image = self._jit("decode", decode)(vae_params, latents)
             out_image = self.image_processor.postprocess(out_image, output_type=output_type)
 
         if not return_dict:

@@ -102,13 +102,14 @@ class LatentConsistencyModelPipeline(StableDiffusionPipeline):
         cond_dim = unet.config.get("time_cond_proj_dim") or 256
         w_embedding = get_guidance_scale_embedding(w, cond_dim)
 
-        denoise = jax.jit(partial(self._denoise_lcm, num_inference_steps=num_inference_steps))
+        denoise = self._jit("denoise", partial(self._denoise_lcm, num_inference_steps=num_inference_steps),
+                            static=(num_inference_steps,))
         denoised = denoise(unet_params, prompt_embeds, latents, w_embedding, key=noise_key)
 
         if output_type == "latent":
             image = denoised
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image = decode(vae_params, denoised)
             image = self.image_processor.postprocess(image, output_type=output_type)
 

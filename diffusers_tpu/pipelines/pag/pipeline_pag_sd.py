@@ -108,7 +108,8 @@ class StableDiffusionPAGPipeline(StableDiffusionPipeline):
             latents = randn_tensor(shape, key=key)
 
         pag_layers = select_pag_layers(unet, pag_applied_layers)
-        denoise = jax.jit(
+        denoise = self._jit(
+            "denoise",
             partial(
                 self._denoise_pag,
                 guidance_scale=guidance_scale,
@@ -118,14 +119,15 @@ class StableDiffusionPAGPipeline(StableDiffusionPipeline):
                 num_inference_steps=num_inference_steps,
                 do_cfg=do_cfg,
                 pag_layers=tuple(pag_layers),
-            )
+            ),
+            static=(guidance_scale, pag_scale, pag_start, pag_stop, num_inference_steps, do_cfg, tuple(pag_layers)),
         )
         latents = denoise(unet_params, prompt_embeds, latents)
 
         if output_type == "latent":
             image = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image = decode(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 

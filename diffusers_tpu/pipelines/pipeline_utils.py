@@ -201,6 +201,119 @@ class DiffusionPipeline(ConfigMixin):
             json.dump({k: list(v) if isinstance(v, tuple) else v for k, v in config.items()}, f, indent=2)
         logger.info(f"Pipeline saved to {save_directory}")
 
+    # ------------------------------------------------------------ parallelism
+    def enable_parallelism(self, config=None, mesh=None, cp_backend: Optional[str] = None):
+        """Shard this pipeline's weights over a device mesh for sharded inference.
+
+        TPU-native analogue of the reference's
+        ``ModelMixin.enable_parallelism`` (`modeling_utils.py:1601`) +
+        ``apply_context_parallel`` (`hooks/context_parallel.py:80`): components
+        with a registered TP plan (parallel/plans.py) get their params sharded
+        per-leaf by PartitionSpec; all other weighted components are replicated
+        onto the mesh; and during every traced call attention dispatch
+        auto-routes self-attention through the ring/ulysses sequence-parallel
+        backends when ``sequence_degree > 1``.
+
+        Args:
+            config: ParallelConfig with data/tensor/sequence degrees (defaults
+                to all devices on the data axis).
+            mesh: pre-built jax.sharding.Mesh (overrides config-based creation).
+            cp_backend: force "ring" or "ulysses" (default: auto per call).
+        Returns the active mesh.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.env import ParallelEnv
+        from ..parallel.mesh import DEFAULT_AXES, ParallelConfig, create_mesh
+        from ..parallel.plans import MODEL_TP_PLANS, shard_params
+
+        if mesh is None:
+            mesh = create_mesh(config)
+        if config is None:
+            shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+            config = ParallelConfig(
+                data_degree=shape.get("data", 1),
+                tensor_degree=shape.get("tensor", 1),
+                sequence_degree=shape.get("sequence", 1),
+            )
+        env = ParallelEnv(mesh=mesh, config=config, cp_backend=cp_backend)
+        replicated = NamedSharding(mesh, PartitionSpec())
+        for name in list(self.config.keys()):
+            if name.startswith("_"):
+                continue
+            comp = getattr(self, name, None)
+            if not (isinstance(comp, tuple) and len(comp) == 2):
+                continue
+            model, params = comp
+            if params is None or not isinstance(params, dict):
+                continue
+            plan = MODEL_TP_PLANS.get(type(model).__name__)
+            if plan is not None:
+                params = shard_params(mesh, params, plan)
+            else:
+                params = jax.tree.map(lambda x: jax.device_put(x, replicated), params)
+            setattr(self, name, (model, params))
+        self._parallel_env = env
+        self.clear_jit_cache()
+        return mesh
+
+    def disable_parallelism(self):
+        """Clear the parallel env; weights stay where they are until reloaded."""
+        self._parallel_env = None
+        self.clear_jit_cache()
+
+    # ---------------------------------------------------------------- caches
+    def enable_cache(self, config):
+        """Enable a timestep cache for the denoise loop (CacheMixin analogue,
+        reference `models/cache_utils.py:23` enable_cache). `config` is one of
+        the frozen configs from `diffusers_tpu.hooks` (FirstBlockCacheConfig,
+        TaylorSeerCacheConfig, FasterCacheConfig, PyramidAttentionBroadcastConfig);
+        pipelines consult it when tracing their scanned denoise loops."""
+        self._cache_config = config
+        self.clear_jit_cache()
+
+    def disable_cache(self):
+        self._cache_config = None
+        self.clear_jit_cache()
+
+    # ---------------------------------------------------------------- jit cache
+    def _jit(self, name: str, fn=None, *, static: tuple = (), **jit_kwargs):
+        """Per-instance cache of jitted callables.
+
+        ``jax.jit(self._denoise)`` inside ``__call__`` builds a fresh wrapper
+        — and therefore a fresh trace cache — on every invocation, so a user
+        calling a pipeline twice pays full retrace + compile twice. Caching
+        the wrapper on the instance keyed by ``(name, static)`` lets repeat
+        calls hit jit's own signature cache; ``static`` must carry any Python
+        value the traced closure bakes in (guidance flags, step counts, ...).
+
+        Mutating trace-time module attributes (IP-Adapter scale, PAG identity
+        flags, fused LoRA swaps) must call :meth:`clear_jit_cache`.
+        """
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        env = getattr(self, "_parallel_env", None)
+        key = (name, static, id(env) if env is not None else None, getattr(self, "_cache_config", None))
+        wrapped = cache.get(key)
+        if wrapped is None:
+            inner = jax.jit(fn if fn is not None else getattr(self, name), **jit_kwargs)
+            if env is None:
+                wrapped = inner
+            else:
+                # activate the ambient ParallelEnv for the trace (attention
+                # dispatch reads it to route ring/ulysses inside shard_map)
+                from ..parallel.env import parallel_env
+
+                def wrapped(*args, __inner=inner, __env=env, **kwargs):
+                    with parallel_env(__env):
+                        return __inner(*args, **kwargs)
+
+            cache[key] = wrapped
+        return wrapped
+
+    def clear_jit_cache(self):
+        """Drop cached jitted callables (call after trace-time mutations)."""
+        self.__dict__.pop("_jit_cache", None)
+
     def progress_bar(self, iterable=None, total=None):
         try:
             from tqdm.auto import tqdm

@@ -140,20 +140,22 @@ class SanaPipeline(DiffusionPipeline):
         if latents is None:
             latents = randn_tensor(shape, key=key)
 
-        denoise = jax.jit(
+        denoise = self._jit(
+            "denoise",
             partial(
                 self._denoise,
                 guidance_scale=guidance_scale,
                 num_inference_steps=num_inference_steps,
                 do_cfg=do_cfg,
-            )
+            ),
+            static=(guidance_scale, num_inference_steps, do_cfg),
         )
         latents = denoise(transformer_params, prompt_embeds, prompt_attention_mask, latents)
 
         if output_type == "latent":
             image = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image = decode(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 

@@ -227,20 +227,22 @@ class StableDiffusionPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
                 callback_on_step_end,
             )
         else:
-            denoise = jax.jit(
+            denoise = self._jit(
+                "denoise",
                 partial(
                     self._denoise,
                     guidance_scale=guidance_scale,
                     num_inference_steps=num_inference_steps,
                     do_cfg=do_cfg,
-                )
+                ),
+                static=(guidance_scale, num_inference_steps, do_cfg),
             )
             latents = denoise(unet_params, prompt_embeds, latents, image_embeds=image_embeds)
 
         if output_type == "latent":
             image = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image = decode(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 

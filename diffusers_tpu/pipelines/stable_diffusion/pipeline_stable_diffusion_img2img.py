@@ -92,13 +92,14 @@ class StableDiffusionImg2ImgPipeline(StableDiffusionPipeline):
         noise = randn_tensor(init_latents.shape, key=noise_key)
         latents = self.scheduler.add_noise(state, init_latents, noise, latent_timestep)
 
-        denoise = jax.jit(partial(self._denoise_from, guidance_scale=guidance_scale, do_cfg=do_cfg))
+        denoise = self._jit("denoise", partial(self._denoise_from, guidance_scale=guidance_scale, do_cfg=do_cfg),
+                            static=(guidance_scale, do_cfg))
         latents = denoise(unet_params, prompt_embeds, latents, timesteps, state)
 
         if output_type == "latent":
             image_out = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image_out = decode(vae_params, latents)
             image_out = self.image_processor.postprocess(image_out, output_type=output_type)
 

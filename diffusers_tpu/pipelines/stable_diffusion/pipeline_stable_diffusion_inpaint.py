@@ -123,8 +123,10 @@ class StableDiffusionInpaintPipeline(StableDiffusionPipeline):
             )
             mask_latents_input = jnp.tile(mask_latents_input, (reps, 1, 1, 1))
 
-        denoise = jax.jit(
-            partial(self._denoise_inpaint, guidance_scale=guidance_scale, do_cfg=do_cfg, is_inpaint_unet=is_inpaint_unet)
+        denoise = self._jit(
+            "denoise",
+            partial(self._denoise_inpaint, guidance_scale=guidance_scale, do_cfg=do_cfg, is_inpaint_unet=is_inpaint_unet),
+            static=(guidance_scale, do_cfg, is_inpaint_unet),
         )
         latents = denoise(unet_params, prompt_embeds, latents, init_latents, mask_latent, mask_latents_input,
                           timesteps, state, noise)
@@ -132,7 +134,7 @@ class StableDiffusionInpaintPipeline(StableDiffusionPipeline):
         if output_type == "latent":
             image_out = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image_out = decode(vae_params, latents)
             image_out = self.image_processor.postprocess(image_out, output_type=output_type)
 

@@ -167,7 +167,8 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
 
         state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = jax.jit(partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg))
+        denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg),
+                            static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, pooled, state.timesteps, state)
 
         if output_type == "latent":
@@ -179,7 +180,7 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
                     z = z + vae.config.shift_factor
                 return vae.decode(p, z).sample
 
-            image = jax.jit(decode)(vae_params, latents)
+            image = self._jit("decode", decode)(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 
         if not return_dict:

@@ -118,6 +118,16 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         if hasattr(scheduler, "prepare"):
             state = scheduler.prepare(state, latents)
 
+        cache_cfg = getattr(self, "_cache_config", None)
+        if cache_cfg is not None and do_cfg and image_embeds is None:
+            from ...hooks.faster_cache import FasterCacheConfig
+
+            if isinstance(cache_cfg, FasterCacheConfig):
+                return self._denoise_faster_cache(
+                    unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents,
+                    guidance_scale, state, cache_cfg,
+                )
+
         def step_fn(carry, t):
             latents, sstate = carry
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
@@ -139,6 +149,59 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
             return (out.prev_sample, out.state), None
 
         (latents, _), _ = jax.lax.scan(step_fn, (latents, state), state.timesteps)
+        return latents
+
+    def _denoise_faster_cache(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids,
+                              latents, guidance_scale, state, cache_cfg):
+        """CFG-cached denoise (FasterCache, arXiv:2410.19355): the uncond
+        branch runs only on schedule-selected steps; in between it is
+        approximated from the cond output + cached frequency deltas
+        (hooks/faster_cache.py; reference hooks/faster_cache.py:261-361)."""
+        from ...hooks.faster_cache import (
+            faster_cache_apply,
+            faster_cache_schedules,
+            init_faster_cache_state,
+        )
+
+        unet = self.unet[0]
+        scheduler = self.scheduler
+        skip_np, lf_np, hf_np = faster_cache_schedules(np.asarray(state.timesteps), cache_cfg)
+        b = latents.shape[0]
+        cond_embeds = prompt_embeds[b:]
+        cond_text = add_text_embeds[b:]
+        cond_time = add_time_ids[b:]
+
+        def unet_call(latent_input, t, pe, te, ti):
+            return unet(
+                unet_params,
+                latent_input,
+                jnp.broadcast_to(t, (latent_input.shape[0],)),
+                encoder_hidden_states=pe,
+                added_cond_kwargs={"text_embeds": te, "time_ids": ti},
+            ).sample
+
+        fc0 = init_faster_cache_state(latents.shape)
+
+        def step_fn(carry, xs):
+            latents, sstate, fc = carry
+            t, skip, lf_w, hf_w = xs
+
+            def full():
+                li = scheduler.scale_model_input(sstate, jnp.concatenate([latents, latents], axis=0), t)
+                return unet_call(li, t, prompt_embeds, add_text_embeds, add_time_ids)
+
+            def cond_only():
+                li = scheduler.scale_model_input(sstate, latents, t)
+                return unet_call(li, t, cond_embeds, cond_text, cond_time)
+
+            noise_pred, fc = faster_cache_apply(fc, skip, lf_w, hf_w, full, cond_only)
+            uncond, text = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance_scale * (text - uncond)
+            out = scheduler.step(sstate, noise_pred, t, latents)
+            return (out.prev_sample, out.state, fc), None
+
+        xs = (state.timesteps, jnp.asarray(skip_np), jnp.asarray(lf_np), jnp.asarray(hf_np))
+        (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, fc0), xs)
         return latents
 
     # ------------------------------------------------------------ __call__
@@ -200,15 +263,17 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         if image_embeds is None and ip_adapter_image is not None:
             image_embeds = self.prepare_ip_adapter_image_embeds(ip_adapter_image, batch_size, do_cfg)
 
-        denoise = jax.jit(
-            partial(self._denoise, guidance_scale=guidance_scale, num_inference_steps=num_inference_steps, do_cfg=do_cfg)
+        denoise = self._jit(
+            "denoise",
+            partial(self._denoise, guidance_scale=guidance_scale, num_inference_steps=num_inference_steps, do_cfg=do_cfg),
+            static=(guidance_scale, num_inference_steps, do_cfg),
         )
         latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents, image_embeds=image_embeds)
 
         if output_type == "latent":
             image = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image = decode(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 

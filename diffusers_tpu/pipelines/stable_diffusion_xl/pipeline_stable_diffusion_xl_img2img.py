@@ -98,13 +98,14 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
         noise = randn_tensor(init_latents.shape, key=noise_key)
         latents = self.scheduler.add_noise(state, init_latents, noise, timesteps[:1])
 
-        denoise = jax.jit(partial(self._denoise_from, guidance_scale=guidance_scale, do_cfg=do_cfg))
+        denoise = self._jit("denoise", partial(self._denoise_from, guidance_scale=guidance_scale, do_cfg=do_cfg),
+                            static=(guidance_scale, do_cfg))
         latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents, timesteps, state)
 
         if output_type == "latent":
             image_out = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image_out = decode(vae_params, latents)
             image_out = self.image_processor.postprocess(image_out, output_type=output_type)
 

@@ -141,13 +141,15 @@ class StableDiffusionXLInpaintPipeline(StableDiffusionXLPipeline):
             )
             mask_latents_input = jnp.tile(mask_latents_input, (reps, 1, 1, 1))
 
-        denoise = jax.jit(
+        denoise = self._jit(
+            "denoise",
             partial(
                 self._denoise_inpaint,
                 guidance_scale=guidance_scale,
                 do_cfg=do_cfg,
                 is_inpaint_unet=is_inpaint_unet,
-            )
+            ),
+            static=(guidance_scale, do_cfg, is_inpaint_unet),
         )
         latents = denoise(
             unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents, init_latents,
@@ -157,7 +159,7 @@ class StableDiffusionXLInpaintPipeline(StableDiffusionXLPipeline):
         if output_type == "latent":
             image_out = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image_out = decode(vae_params, latents)
             image_out = self.image_processor.postprocess(image_out, output_type=output_type)
 

@@ -86,13 +86,14 @@ class TCDPipeline(StableDiffusionPipeline):
             w = jnp.full((batch_size,), guidance_scale - 1.0, dtype=jnp.float32)
             w_embedding = get_guidance_scale_embedding(w, unet.config.time_cond_proj_dim)
 
-        denoise = jax.jit(partial(self._denoise_tcd, num_inference_steps=num_inference_steps, eta=eta))
+        denoise = self._jit("denoise", partial(self._denoise_tcd, num_inference_steps=num_inference_steps, eta=eta),
+                            static=(num_inference_steps, eta))
         latents = denoise(unet_params, prompt_embeds, latents, w_embedding, key=noise_key)
 
         if output_type == "latent":
             image = latents
         else:
-            decode = jax.jit(lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
             image = decode(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)
 

@@ -129,7 +129,8 @@ class WanPipeline(DiffusionPipeline):
             except TypeError:
                 state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = jax.jit(partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg))
+        denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg),
+                            static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
                           state.timesteps, state)
 
@@ -144,7 +145,7 @@ class WanPipeline(DiffusionPipeline):
                 mean = jnp.asarray(lm).reshape(1, -1, 1, 1, 1)
                 std = jnp.asarray(ls).reshape(1, -1, 1, 1, 1)
                 latents = latents * std + mean
-            video = jax.jit(lambda p, z: vae.decode(p, z).sample)(vae_params, latents)
+            video = self._jit("decode", lambda p, z: vae.decode(p, z).sample)(vae_params, latents)
             video = np.asarray(jnp.transpose(jnp.clip(video / 2 + 0.5, 0, 1), (0, 2, 3, 4, 1)))
 
         if not return_dict:
