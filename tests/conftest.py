@@ -20,3 +20,34 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # The axon sitecustomize force-selects the TPU platform after env resolution;
 # override via config so hermetic tests run on the virtual CPU devices.
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `refparity` marks tests that run the torch reference in-process
+# (slow oracle tier). Fast hermetic tier: `pytest -m "not refparity"`.
+# Auto-applied to any test module that touches /root/reference.
+import pathlib
+
+import pytest
+
+_REFPARITY_CACHE = {}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "refparity: parity tests running the torch reference in-process (slow tier)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        path = str(item.fspath)
+        hit = _REFPARITY_CACHE.get(path)
+        if hit is None:
+            try:
+                hit = "/root/reference" in pathlib.Path(path).read_text()
+            except OSError:
+                hit = False
+            _REFPARITY_CACHE[path] = hit
+        if hit:
+            item.add_marker(pytest.mark.refparity)
