@@ -100,6 +100,77 @@ def _pallas_flash_attention(query, key, value, attn_mask=None, scale=None, is_ca
     return flash_attention(query, key, value, scale=scale, is_causal=is_causal)
 
 
+@register_attention_backend("ring")
+def _ring_attention_backend(query, key, value, attn_mask=None, scale=None, is_causal=False):
+    """Sequence-parallel ring attention over the ambient mesh's sequence axis
+    (reference TemplatedRingAttention, attention_dispatch.py:2229). Requires an
+    active ParallelEnv (pipeline.enable_parallelism); falls back to native when
+    none is set or the call shape can't shard."""
+    env = _get_env()
+    if not _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=False):
+        return _native_attention(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
+    from ..parallel.context_parallel import ring_attention
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, env.sequence_axis, None, None)
+    fn = shard_map(
+        functools.partial(ring_attention, axis_name=env.sequence_axis, scale=scale),
+        mesh=env.mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(query, key, value)
+
+
+@register_attention_backend("ulysses")
+def _ulysses_attention_backend(query, key, value, attn_mask=None, scale=None, is_causal=False):
+    """Sequence-parallel Ulysses attention (all-to-all heads↔seq scatter) over
+    the ambient mesh's sequence axis (reference TemplatedUlyssesAttention,
+    attention_dispatch.py:2359)."""
+    env = _get_env()
+    if not _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=True):
+        return _native_attention(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
+    from ..parallel.context_parallel import ulysses_attention
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, env.sequence_axis, None, None)
+    fn = shard_map(
+        functools.partial(ulysses_attention, axis_name=env.sequence_axis, scale=scale),
+        mesh=env.mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(query, key, value)
+
+
+def _get_env():
+    from ..parallel.env import get_parallel_env
+
+    return get_parallel_env()
+
+
+def _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split: bool) -> bool:
+    """Can this call run sequence-parallel? Both q and kv sequences must tile
+    evenly over the sequence axis; masked/causal calls fall back (the
+    reference's "anything" uneven modes are handled by padding at the pipeline
+    layer instead)."""
+    if env is None or env.sequence_degree <= 1:
+        return False
+    if attn_mask is not None or is_causal:
+        return False
+    n = env.sequence_degree
+    b, s, h, d = query.shape
+    if s % n != 0 or key.shape[1] % n != 0:
+        return False
+    if need_head_split and h % n != 0:
+        return False
+    return True
+
+
 def dispatch_attention_fn(
     query: jax.Array,
     key: jax.Array,
@@ -112,11 +183,13 @@ def dispatch_attention_fn(
     """Route an attention call to the active backend.
 
     Selection order: explicit `backend` arg → ambient `attention_backend()`
-    context → automatic (pallas_flash on TPU for long seqs, else native).
+    context → sequence-parallel ring/ulysses when a ParallelEnv with
+    sequence_degree > 1 is active → automatic (pallas_flash on TPU for long
+    seqs, else native).
     """
     name = backend or _active_backend
     if name is None:
-        name = _auto_backend(query)
+        name = _auto_backend(query, key, attn_mask, is_causal)
     return _BACKENDS[name](query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
 
 
@@ -128,7 +201,15 @@ def _on_tpu() -> bool:
         return False
 
 
-def _auto_backend(query: jax.Array) -> str:
+def _auto_backend(query: jax.Array, key: jax.Array, attn_mask=None, is_causal: bool = False) -> str:
+    # Sequence-parallel first: an active ParallelEnv with sequence_degree > 1
+    # routes self-attention through ulysses (heads divide) or ring.
+    env = _get_env()
+    if _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=False):
+        if env.cp_backend is not None:
+            return env.cp_backend
+        n = env.sequence_degree
+        return "ulysses" if query.shape[2] % n == 0 else "ring"
     # Pallas flash attention wins when the sequence is long enough to tile;
     # head_dim must be 64-aligned (64 is zero-padded to the 128 lane width
     # inside the kernel). Mirrors the reference's seq>=4096 XLA gate
