@@ -127,6 +127,12 @@ class Linear(Module):
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         kernel = params["kernel"]
+        if "kernel_scale_w8a8" in params:  # int8 compute: fused Pallas w8a8 matmul
+            from .pallas.quantized_matmul import w8a8_matmul
+
+            return w8a8_matmul(
+                x, kernel, params["kernel_scale_w8a8"], bias=params.get("bias") if self.use_bias else None
+            )
         if "kernel_scale" in params:  # weight-only quantized (int8/fp8)
             kernel = kernel.astype(x.dtype) * params["kernel_scale"].astype(x.dtype)[None, :]
         y = x @ kernel.astype(x.dtype)

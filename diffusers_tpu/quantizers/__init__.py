@@ -1,2 +1,2 @@
-from .quantization_config import Int8WeightOnlyConfig, Fp8WeightOnlyConfig, QuantizationConfig
+from .quantization_config import Int8WeightOnlyConfig, Int8DynamicActConfig, Fp8WeightOnlyConfig, QuantizationConfig
 from .quantize import dequantize_params, quantize_params

@@ -38,3 +38,14 @@ class Fp8WeightOnlyConfig(QuantizationConfig):
     `models/modeling_utils.py:439`)."""
 
     quant_method = "fp8_weight_only"
+
+
+@dataclass
+class Int8DynamicActConfig(QuantizationConfig):
+    """w8a8: int8 weights + dynamic per-row int8 activation quantization,
+    computed on the MXU's int8 path (2× bf16 peak) via the fused Pallas kernel
+    (ops/pallas/quantized_matmul.py). TPU-native analogue of torchao's
+    int8_dynamic_activation_int8_weight backend
+    (`/root/reference/src/diffusers/quantizers/torchao/`)."""
+
+    quant_method = "int8_dynamic_activation"

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import logging
-from .quantization_config import Fp8WeightOnlyConfig, Int8WeightOnlyConfig, QuantizationConfig
+from .quantization_config import (
+    Fp8WeightOnlyConfig,
+    Int8DynamicActConfig,
+    Int8WeightOnlyConfig,
+    QuantizationConfig,
+)
 
 logger = logging.get_logger(__name__)
 
@@ -46,7 +51,11 @@ def quantize_params(params, config: QuantizationConfig, path: str = ""):
             kernel = params["kernel"]
             skip = any(m in path for m in config.modules_to_not_convert)
             if not skip and kernel.size >= config.min_weight_size:
-                if isinstance(config, Int8WeightOnlyConfig):
+                scale_key = "kernel_scale"
+                if isinstance(config, Int8DynamicActConfig):
+                    q, scale = _quantize_kernel_int8(kernel)
+                    scale_key = "kernel_scale_w8a8"  # marks the int8-compute path in Linear
+                elif isinstance(config, Int8WeightOnlyConfig):
                     q, scale = _quantize_kernel_int8(kernel)
                 elif isinstance(config, Fp8WeightOnlyConfig):
                     q, scale = _quantize_kernel_fp8(kernel)
@@ -54,7 +63,7 @@ def quantize_params(params, config: QuantizationConfig, path: str = ""):
                     return params
                 new = dict(params)
                 new["kernel"] = q
-                new["kernel_scale"] = scale
+                new[scale_key] = scale
                 return new
             return params
         return {
@@ -67,12 +76,13 @@ def quantize_params(params, config: QuantizationConfig, path: str = ""):
 def dequantize_params(params):
     """Materialize quantized kernels back to float (for save/inspection)."""
     if isinstance(params, dict):
-        if "kernel_scale" in params:
+        scale_key = next((k for k in ("kernel_scale", "kernel_scale_w8a8") if k in params), None)
+        if scale_key is not None:
             new = dict(params)
             new["kernel"] = (
-                params["kernel"].astype(jnp.float32) * params["kernel_scale"][None, :]
+                params["kernel"].astype(jnp.float32) * params[scale_key][None, :]
             )
-            del new["kernel_scale"]
+            del new[scale_key]
             return new
         return {k: dequantize_params(v) if isinstance(v, dict) else v for k, v in params.items()}
     return params
