@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 
-@dataclass
+@dataclass(frozen=True)
 class FirstBlockCacheConfig:
     """threshold: higher → more aggressive caching (reference default 0.05)."""
 

@@ -136,20 +136,34 @@ class FluxSingleTransformerBlock(Module):
             eps=1e-6, pre_only=True,
         )
 
-    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, image_rotary_emb=None):
+    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, image_rotary_emb=None, pab=None):
         text_seq_len = encoder_hidden_states.shape[1]
         hidden_states = jnp.concatenate([encoder_hidden_states, hidden_states], axis=1)
 
         residual = hidden_states
         norm_hidden_states, gate = self.norm(params["norm"], hidden_states, emb=temb)
         mlp_hidden_states = jax.nn.gelu(self.proj_mlp(params["proj_mlp"], norm_hidden_states), approximate=True)
-        attn_output = self.attn(params["attn"], norm_hidden_states, image_rotary_emb=image_rotary_emb)
+        if pab is None:
+            attn_output = self.attn(params["attn"], norm_hidden_states, image_rotary_emb=image_rotary_emb)
+        else:
+            # PAB: reuse the cached attention output on broadcast steps
+            # (hooks/pyramid_attention_broadcast.py; MLP always computes)
+            compute, cached = pab
+            attn_output = jax.lax.cond(
+                compute,
+                lambda _: self.attn(params["attn"], norm_hidden_states, image_rotary_emb=image_rotary_emb),
+                lambda _: cached,
+                None,
+            )
 
         hidden_states = jnp.concatenate([attn_output, mlp_hidden_states], axis=2)
         hidden_states = gate[:, None] * self.proj_out(params["proj_out"], hidden_states)
         hidden_states = residual + hidden_states
 
-        return hidden_states[:, :text_seq_len], hidden_states[:, text_seq_len:]
+        out = (hidden_states[:, :text_seq_len], hidden_states[:, text_seq_len:])
+        if pab is not None:
+            return (*out, attn_output)
+        return out
 
 
 class FluxTransformerBlock(Module):
@@ -166,15 +180,26 @@ class FluxTransformerBlock(Module):
         self.norm2_context = LayerNorm(dim, eps=1e-6, use_scale=False, use_bias=False)
         self.ff_context = FeedForward(dim=dim, dim_out=dim, activation_fn="gelu-approximate")
 
-    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, image_rotary_emb=None):
+    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, image_rotary_emb=None, pab=None):
         norm_hidden, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(params["norm1"], hidden_states, emb=temb)
         norm_context, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
             params["norm1_context"], encoder_hidden_states, emb=temb
         )
 
-        attn_output, context_attn_output = self.attn(
-            params["attn"], norm_hidden, encoder_hidden_states=norm_context, image_rotary_emb=image_rotary_emb
-        )
+        if pab is None:
+            attn_output, context_attn_output = self.attn(
+                params["attn"], norm_hidden, encoder_hidden_states=norm_context, image_rotary_emb=image_rotary_emb
+            )
+        else:
+            compute, cached = pab  # cached = (attn_output, context_attn_output)
+            attn_output, context_attn_output = jax.lax.cond(
+                compute,
+                lambda _: self.attn(
+                    params["attn"], norm_hidden, encoder_hidden_states=norm_context, image_rotary_emb=image_rotary_emb
+                ),
+                lambda _: cached,
+                None,
+            )
 
         hidden_states = hidden_states + gate_msa[:, None] * attn_output
         norm_hidden = self.norm2({}, hidden_states)
@@ -187,6 +212,8 @@ class FluxTransformerBlock(Module):
         encoder_hidden_states = encoder_hidden_states + c_gate_mlp[:, None] * self.ff_context(
             params["ff_context"], norm_context
         )
+        if pab is not None:
+            return encoder_hidden_states, hidden_states, (attn_output, context_attn_output)
         return encoder_hidden_states, hidden_states
 
 
@@ -251,6 +278,8 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
         controlnet_block_samples=None,
         controlnet_single_block_samples=None,
         scan_blocks: bool = False,
+        pab_compute: Optional[jax.Array] = None,  # bool scalar (PAB: recompute attention this step?)
+        pab_cache: Optional[dict] = None,  # stacked per-block attention caches (see hooks/pyramid_attention_broadcast.py)
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         hidden_states = self.x_embedder(params["x_embedder"], hidden_states)
@@ -267,6 +296,40 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
         if image_rotary_emb is None:
             ids = jnp.concatenate([txt_ids, img_ids], axis=0)
             image_rotary_emb = self.pos_embed({}, ids)
+
+        if pab_cache is not None:
+            # PAB forward: per-block attention caches threaded through the
+            # block loop; returns (sample, new_pab_cache) (not an output class)
+            new_dual_attn, new_dual_ctx, new_single = [], [], []
+            for i, block in enumerate(self.transformer_blocks):
+                encoder_hidden_states, hidden_states, (a, c) = block(
+                    params["transformer_blocks"][i],
+                    hidden_states,
+                    encoder_hidden_states,
+                    temb,
+                    image_rotary_emb,
+                    pab=(pab_compute, (pab_cache["dual_attn"][i], pab_cache["dual_ctx"][i])),
+                )
+                new_dual_attn.append(a)
+                new_dual_ctx.append(c)
+            for i, block in enumerate(self.single_transformer_blocks):
+                encoder_hidden_states, hidden_states, a = block(
+                    params["single_transformer_blocks"][i],
+                    hidden_states,
+                    encoder_hidden_states,
+                    temb,
+                    image_rotary_emb,
+                    pab=(pab_compute, pab_cache["single_attn"][i]),
+                )
+                new_single.append(a)
+            hidden_states = self.norm_out(params["norm_out"], hidden_states, temb)
+            output = self.proj_out(params["proj_out"], hidden_states)
+            new_cache = {
+                "dual_attn": jnp.stack(new_dual_attn),
+                "dual_ctx": jnp.stack(new_dual_ctx),
+                "single_attn": jnp.stack(new_single),
+            }
+            return output, new_cache
 
         if scan_blocks and controlnet_block_samples is None and controlnet_single_block_samples is None:
             # Repeated-block scan (our analogue of the reference's
