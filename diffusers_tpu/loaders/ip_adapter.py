@@ -242,13 +242,22 @@ class IPAdapterPipelineMixin:
     def load_ip_adapter(self, source, dtype=None):
         unet, unet_params = self.unet
         self.unet = (unet, load_ip_adapter(unet, unet_params, source, dtype=dtype))
+        self._drop_jit_cache()
 
     def set_ip_adapter_scale(self, scale):
         set_ip_adapter_scale(self.unet[0], scale)
+        # scale is baked into traces at trace time; cached jits are stale now
+        self._drop_jit_cache()
 
     def unload_ip_adapter(self):
         unet, unet_params = self.unet
         self.unet = (unet, unload_ip_adapter(unet, unet_params))
+        self._drop_jit_cache()
+
+    def _drop_jit_cache(self):
+        clear = getattr(self, "clear_jit_cache", None)
+        if clear is not None:
+            clear()
 
     def prepare_ip_adapter_image_embeds(self, ip_adapter_image, batch_size: int, do_cfg: bool):
         """Encode image(s) → per-adapter embeds [2B|B, num_images, ...]; the
