@@ -110,6 +110,11 @@ class Attention(Module):
     # attention_processor.py:5043). Flipped at trace time by the PAG pipeline
     # around its perturbed forward — the flag never costs anything per-step.
     pag_identity: bool = False
+    # SEG: gaussian-blur sigma for the query projections of a self-attention
+    # call (reference SmoothedEnergyGuidanceHook,
+    # hooks/smoothed_energy_guidance_utils.py:47-57). Set at trace time by
+    # guiders.smoothed_energy_guidance.seg_blurred around the perturbed pass.
+    seg_blur_sigma: Optional[float] = None
 
     def __call__(
         self,
@@ -139,6 +144,13 @@ class Attention(Module):
             context = self.norm_cross(params["norm_cross"], context)
 
         query = self.to_q(params["to_q"], hidden_states)
+        if self.seg_blur_sigma is not None and encoder_hidden_states is None:
+            import math as _math
+
+            from ..guiders.smoothed_energy_guidance import seg_gaussian_blur_2d
+
+            ks = _math.ceil(6 * self.seg_blur_sigma) + 1 - _math.ceil(6 * self.seg_blur_sigma) % 2
+            query = seg_gaussian_blur_2d(query, ks, self.seg_blur_sigma)
         key = self.to_k(params["to_k"], context)
         value = self.to_v(params["to_v"], context)
 
