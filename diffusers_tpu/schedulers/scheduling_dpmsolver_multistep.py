@@ -3,7 +3,7 @@
 Numerics follow the reference `scheduling_dpmsolver_multistep.py`
 (`/root/reference/src/diffusers/schedulers/scheduling_dpmsolver_multistep.py:215`;
 convert_model_output `:749`, first-order update `:847`, second-order `:921`,
-step `:1196`). Orders 1–2 (the defaults for every shipped SD config);
+step `:1196`). Orders 1–3;
 algorithm types dpmsolver++ / sde-dpmsolver++ / dpmsolver.
 
 Functional multistep design: the model-output history lives in the state
@@ -90,8 +90,8 @@ class DPMSolverMultistepScheduler(SchedulerMixin, ConfigMixin):
     ):
         if algorithm_type not in ("dpmsolver++", "sde-dpmsolver++", "dpmsolver"):
             raise NotImplementedError(f"algorithm_type {algorithm_type} not supported")
-        if solver_order > 2:
-            raise NotImplementedError("solver_order > 2 not yet implemented (defaults use 2)")
+        if solver_order > 3:
+            raise NotImplementedError("solver_order must be 1, 2 or 3 (reference supports the same)")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end, trained_betas)
         if rescale_betas_zero_snr:
             betas = rescale_zero_terminal_snr(betas)
@@ -321,6 +321,55 @@ class DPMSolverMultistepScheduler(SchedulerMixin, ConfigMixin):
             + sigma_t * jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-2 * h), 0.0)) * noise
         )
 
+    def _third_order_update(self, state, model_outputs, sample, idx, noise):
+        """Reference `multistep_dpm_solver_third_order_update`
+        (scheduling_dpmsolver_multistep.py:1040 region)."""
+        sigma_t_raw = state.sigmas[idx + 1]
+        sigma_s0_raw = state.sigmas[idx]
+        sigma_s1_raw = state.sigmas[jnp.maximum(idx - 1, 0)]
+        sigma_s2_raw = state.sigmas[jnp.maximum(idx - 2, 0)]
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma_t_raw)
+        alpha_s0, sigma_s0 = self._sigma_to_alpha_sigma_t(sigma_s0_raw)
+        alpha_s1, sigma_s1 = self._sigma_to_alpha_sigma_t(sigma_s1_raw)
+        alpha_s2, sigma_s2 = self._sigma_to_alpha_sigma_t(sigma_s2_raw)
+        lambda_t = jnp.log(alpha_t) - jnp.log(jnp.maximum(sigma_t, 1e-20))
+        lambda_s0 = jnp.log(alpha_s0) - jnp.log(jnp.maximum(sigma_s0, 1e-20))
+        lambda_s1 = jnp.log(alpha_s1) - jnp.log(jnp.maximum(sigma_s1, 1e-20))
+        lambda_s2 = jnp.log(alpha_s2) - jnp.log(jnp.maximum(sigma_s2, 1e-20))
+        m0, m1, m2 = model_outputs[-1], model_outputs[-2], model_outputs[-3]
+        h, h_0, h_1 = lambda_t - lambda_s0, lambda_s0 - lambda_s1, lambda_s1 - lambda_s2
+        # guard h_0/h_1 against the warm-up duplicates (selection masks them out)
+        h = jnp.where(h == 0, 1e-12, h)
+        h_0 = jnp.where(h_0 == 0, 1e-12, h_0)
+        h_1 = jnp.where(h_1 == 0, 1e-12, h_1)
+        r0, r1 = h_0 / h, h_1 / h
+        D0 = m0
+        D1_0, D1_1 = (1.0 / r0) * (m0 - m1), (1.0 / r1) * (m1 - m2)
+        D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+        D2 = (1.0 / (r0 + r1)) * (D1_0 - D1_1)
+        if self.config.algorithm_type == "dpmsolver++":
+            return (
+                (sigma_t / sigma_s0) * sample
+                - (alpha_t * (jnp.exp(-h) - 1.0)) * D0
+                + (alpha_t * ((jnp.exp(-h) - 1.0) / h + 1.0)) * D1
+                - (alpha_t * ((jnp.exp(-h) - 1.0 + h) / h**2 - 0.5)) * D2
+            )
+        if self.config.algorithm_type == "dpmsolver":
+            return (
+                (alpha_t / alpha_s0) * sample
+                - (sigma_t * (jnp.exp(h) - 1.0)) * D0
+                - (sigma_t * ((jnp.exp(h) - 1.0) / h - 1.0)) * D1
+                - (sigma_t * ((jnp.exp(h) - 1.0 - h) / h**2 - 0.5)) * D2
+            )
+        # sde-dpmsolver++
+        return (
+            (sigma_t / sigma_s0 * jnp.exp(-h)) * sample
+            + (alpha_t * (1.0 - jnp.exp(-2.0 * h))) * D0
+            + (alpha_t * ((1.0 - jnp.exp(-2.0 * h)) / (-2.0 * h) + 1.0)) * D1
+            + (alpha_t * ((1.0 - jnp.exp(-2.0 * h) - 2.0 * h) / (2.0 * h) ** 2 - 0.5)) * D2
+            + sigma_t * jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-2 * h), 0.0)) * noise
+        )
+
     # -------------------------------------------------------------- step
     def step(
         self,
@@ -361,12 +410,20 @@ class DPMSolverMultistepScheduler(SchedulerMixin, ConfigMixin):
         first = self._first_order_update(state, converted, sample_f, idx, noise)
         if self.config.solver_order == 1:
             prev_sample = first
-        else:
+        elif self.config.solver_order == 2:
             second = self._second_order_update(state, model_outputs, sample_f, idx, noise)
-            # (reference step `:1260`: first order iff warm-up or lower_order_final;
-            # lower_order_second only demotes third→second, irrelevant at order 2)
+            # (reference step `:1267`: first order iff warm-up or lower_order_final)
             use_first = (idx < 1) | lower_order_final
             prev_sample = jnp.where(use_first, first, second)
+        else:  # solver_order == 3 (reference step :1267-1272)
+            second = self._second_order_update(state, model_outputs, sample_f, idx, noise)
+            third = self._third_order_update(state, model_outputs, sample_f, idx, noise)
+            lower_order_second = (
+                (idx == S - 2) & self.config.lower_order_final & (S < 15)
+            )
+            use_first = (idx < 1) | lower_order_final
+            use_second = (idx < 2) | lower_order_second
+            prev_sample = jnp.where(use_first, first, jnp.where(use_second, second, third))
 
         prev_sample = prev_sample.astype(model_output.dtype)
         new_state = state.replace(step_index=idx + 1, model_outputs=model_outputs)

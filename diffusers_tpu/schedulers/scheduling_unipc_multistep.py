@@ -86,8 +86,8 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
     ):
         if not predict_x0:
             raise NotImplementedError("predict_x0=False UniPC variant not implemented (unused by shipped configs)")
-        if solver_order > 2:
-            raise NotImplementedError("solver_order > 2 not implemented (shipped configs use 2)")
+        if solver_order > 3:
+            raise NotImplementedError("solver_order must be 1, 2 or 3")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end, trained_betas)
         if rescale_betas_zero_snr:
             betas = rescale_zero_terminal_snr(betas)
@@ -142,7 +142,7 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         model_outputs = None
         last_sample = None
         if sample_shape is not None:
-            model_outputs = jnp.zeros((2, *sample_shape), dtype=jnp.float32)
+            model_outputs = jnp.zeros((max(self.config.solver_order, 2), *sample_shape), dtype=jnp.float32)
             last_sample = jnp.zeros(sample_shape, dtype=jnp.float32)
 
         return UniPCMultistepSchedulerState(
@@ -159,7 +159,7 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         if state.model_outputs is not None:
             return state
         return state.replace(
-            model_outputs=jnp.zeros((2, *sample.shape), dtype=jnp.float32),
+            model_outputs=jnp.zeros((max(self.config.solver_order, 2), *sample.shape), dtype=jnp.float32),
             last_sample=jnp.zeros(sample.shape, dtype=jnp.float32),
         )
 
@@ -213,8 +213,16 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         b1 = h_phi_k2 * 2.0 / B_h  # i=2: factorial 2
         return b0, b1, B_h, h_phi_1
 
-    def _predictor(self, state, sample, idx, order_is_2):
-        """uni_p update (predict_x0); order 1 vs 2 selected by `order_is_2`."""
+    def _bh_b2(self, hh, B_h):
+        """Third b-vector entry (i=3): h_phi_3 * 3! / B_h (reference uni_p loop)."""
+        h_phi_1 = jnp.expm1(hh)
+        h_phi_k1 = h_phi_1 / hh - 1
+        h_phi_k2 = h_phi_k1 / hh - 1 / 2
+        h_phi_k3 = h_phi_k2 / hh - 1 / 6
+        return h_phi_k3 * 6.0 / B_h
+
+    def _predictor(self, state, sample, idx, this_order):
+        """uni_p update (predict_x0); order 1/2/3 selected by traced `this_order`."""
         m0 = state.model_outputs[-1]
         lambda_t, alpha_t, sigma_t = self._lambdas(state, idx + 1)
         lambda_s0, alpha_s0, sigma_s0 = self._lambdas(state, idx)
@@ -230,9 +238,27 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         D1 = (m1 - m0) / jnp.where(rk == 0, 1.0, rk)
         pred_res2 = 0.5 * D1  # rhos_p = [0.5] for order 2
         x_t2 = x_t_ - alpha_t * B_h * pred_res2
-        return jnp.where(order_is_2, x_t2, x_t_)
+        out = jnp.where(this_order >= 2, x_t2, x_t_)
 
-    def _corrector(self, state, this_model_output, this_sample, idx, order_is_2):
+        if self.config.solver_order >= 3:
+            # order 3: rks = [r0, r1, 1]; rhos_p = solve(R[:2,:2], b[:2]) with
+            # R = [[1, 1], [r0, r1]] (reference multistep_uni_p_bh_update)
+            m2 = state.model_outputs[-3]
+            lambda_s2, _, _ = self._lambdas(state, jnp.maximum(idx - 2, 0))
+            r0 = rk
+            r1 = (lambda_s2 - lambda_s0) / h
+            r0 = jnp.where(r0 == 0, 1e-6, r0)
+            r1 = jnp.where(jnp.abs(r1 - r0) < 1e-12, r0 + 1e-6, r1)
+            r1 = jnp.where(r1 == 0, 1e-6, r1)
+            D1s0 = (m1 - m0) / r0
+            D1s1 = (m2 - m0) / r1
+            p1 = (b1 - r0 * b0) / (r1 - r0)
+            p0 = b0 - p1
+            x_t3 = x_t_ - alpha_t * B_h * (p0 * D1s0 + p1 * D1s1)
+            out = jnp.where(this_order >= 3, x_t3, out)
+        return out
+
+    def _corrector(self, state, this_model_output, this_sample, idx, this_order):
         """uni_c update at step idx (>0): corrects this_sample using the new output."""
         m0 = state.model_outputs[-1]
         x = state.last_sample
@@ -252,12 +278,38 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         m1 = state.model_outputs[-2]
         lambda_s1, _, _ = self._lambdas(state, jnp.maximum(idx - 2, 0))
         r0 = (lambda_s1 - lambda_s0) / h
-        D1s = (m1 - m0) / jnp.where(r0 == 0, 1.0, r0)
+        D1s0 = (m1 - m0) / jnp.where(r0 == 0, 1.0, r0)
         denom = jnp.where(jnp.abs(1.0 - r0) < 1e-12, 1.0, 1.0 - r0)
         rc0 = (b0 - b1) / denom
         rc1 = b0 - rc0
-        x_t2 = x_t_ - alpha_t * B_h * (rc0 * D1s + rc1 * D1_t)
-        return jnp.where(order_is_2, x_t2, x_t1)
+        x_t2 = x_t_ - alpha_t * B_h * (rc0 * D1s0 + rc1 * D1_t)
+        out = jnp.where(this_order >= 2, x_t2, x_t1)
+
+        if self.config.solver_order >= 3:
+            # order 3: rks = [r0, r1, 1]; rhos_c = solve(R, b) with
+            # R = [[1,1,1],[r0,r1,1],[r0²,r1²,1]], b = [b0,b1,b2]
+            # (reference multistep_uni_c_bh_update)
+            m2 = state.model_outputs[-3]
+            lambda_s2, _, _ = self._lambdas(state, jnp.maximum(idx - 3, 0))
+            r1 = (lambda_s2 - lambda_s0) / h
+            r0g = jnp.where(r0 == 0, 1e-6, r0)
+            r1g = jnp.where(jnp.abs(r1 - r0g) < 1e-12, r0g + 1e-6, r1)
+            r1g = jnp.where(r1g == 0, 1e-6, r1g)
+            D1s1 = (m2 - m0) / r1g
+            b2 = self._bh_b2(hh, B_h)
+            R = jnp.stack(
+                [
+                    jnp.stack([jnp.ones_like(r0g), jnp.ones_like(r0g), jnp.ones_like(r0g)]),
+                    jnp.stack([r0g, r1g, jnp.ones_like(r0g)]),
+                    jnp.stack([r0g**2, r1g**2, jnp.ones_like(r0g)]),
+                ]
+            )
+            bvec = jnp.stack([b0, b1, b2])
+            rhos = jnp.linalg.solve(R, bvec)
+            D1s0_3 = (m1 - m0) / r0g
+            x_t3 = x_t_ - alpha_t * B_h * (rhos[0] * D1s0_3 + rhos[1] * D1s1 + rhos[2] * D1_t)
+            out = jnp.where(this_order >= 3, x_t3, out)
+        return out
 
     def step(self, state, model_output, timestep, sample, return_dict: bool = True):
         if state.num_inference_steps is None:
@@ -269,19 +321,19 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         sample_f = sample.astype(jnp.float32)
         converted = self.convert_model_output(state, model_output.astype(jnp.float32), sample_f, idx)
 
-        # corrector (uses PREVIOUS history and last_sample)
-        if self.config.solver_order >= 2:
-            corr_order_is_2 = jnp.minimum(
-                jnp.minimum(2, S - (idx - 1)) if self.config.lower_order_final else 2,
-                jnp.minimum(idx - 1, self.config.solver_order) + 1,
-            ) >= 2
+        # corrector (uses PREVIOUS history and last_sample; its order is the
+        # this_order computed at the previous step — reference stores it as
+        # self.this_order across iterations)
+        if self.config.lower_order_final:
+            corr_order = jnp.minimum(self.config.solver_order, S - (idx - 1))
         else:
-            corr_order_is_2 = jnp.asarray(False)
+            corr_order = jnp.asarray(self.config.solver_order)
+        corr_order = jnp.minimum(corr_order, jnp.minimum(idx - 1, self.config.solver_order) + 1)
         use_corrector = idx > 0
         if self.config.disable_corrector:
             disable = jnp.asarray(self.config.disable_corrector)
             use_corrector = use_corrector & jnp.all(idx - 1 != disable)
-        corrected = self._corrector(state, converted, sample_f, idx, corr_order_is_2)
+        corrected = self._corrector(state, converted, sample_f, idx, corr_order)
         sample_f = jnp.where(use_corrector, corrected, sample_f)
 
         # rotate history
@@ -294,9 +346,8 @@ class UniPCMultistepScheduler(SchedulerMixin, ConfigMixin):
         else:
             this_order = jnp.asarray(self.config.solver_order)
         this_order = jnp.minimum(this_order, jnp.minimum(idx, self.config.solver_order) + 1)
-        order_is_2 = this_order >= 2
 
-        prev_sample = self._predictor(state, sample_f, idx, order_is_2)
+        prev_sample = self._predictor(state, sample_f, idx, this_order)
         prev_sample = prev_sample.astype(model_output.dtype)
 
         new_state = state.replace(step_index=idx + 1, last_sample=sample_f)

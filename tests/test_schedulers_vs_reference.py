@@ -533,3 +533,51 @@ def test_parallel_schedulers_match_reference():
     ref = sch_t.step(torch.from_numpy(model_out[:1]), t, torch.from_numpy(sample[:1])).prev_sample.numpy()
     ours = np.asarray(sch.step(state, jnp.asarray(model_out[:1]), t, jnp.asarray(sample[:1])).prev_sample)
     assert np.max(np.abs(ref - ours)) < 1e-4
+
+
+def test_dpm_multistep_order3_matches_reference():
+    from diffusers import DPMSolverMultistepScheduler as TorchDPM
+
+    from diffusers_tpu.schedulers import DPMSolverMultistepScheduler
+
+    for algo in ("dpmsolver++", "dpmsolver"):
+        cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+                   solver_order=3, algorithm_type=algo,
+                   final_sigmas_type="sigma_min" if algo == "dpmsolver" else "zero")
+        ref = run_reference(TorchDPM, cfg, num_steps=20)
+        ours = run_ours(DPMSolverMultistepScheduler, cfg, num_steps=20)
+        assert np.max(np.abs(ref - ours)) < 1e-4, (algo, np.max(np.abs(ref - ours)))
+
+
+def test_dpm_multistep_order3_lower_order_final_small_steps():
+    from diffusers import DPMSolverMultistepScheduler as TorchDPM
+
+    from diffusers_tpu.schedulers import DPMSolverMultistepScheduler
+
+    # < 15 steps exercises lower_order_final + lower_order_second demotions
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear", solver_order=3)
+    ref = run_reference(TorchDPM, cfg, num_steps=8)
+    ours = run_ours(DPMSolverMultistepScheduler, cfg, num_steps=8)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_unipc_order3_matches_reference():
+    from diffusers import UniPCMultistepScheduler as TorchUniPC
+
+    from diffusers_tpu.schedulers import UniPCMultistepScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear", solver_order=3)
+    ref = run_reference(TorchUniPC, cfg, num_steps=20)
+    ours = run_ours(UniPCMultistepScheduler, cfg, num_steps=20)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_unipc_order3_small_steps_lower_order_final():
+    from diffusers import UniPCMultistepScheduler as TorchUniPC
+
+    from diffusers_tpu.schedulers import UniPCMultistepScheduler
+
+    cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear", solver_order=3)
+    ref = run_reference(TorchUniPC, cfg, num_steps=6)
+    ours = run_ours(UniPCMultistepScheduler, cfg, num_steps=6)
+    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
