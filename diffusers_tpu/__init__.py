@@ -83,6 +83,7 @@ from .pipelines.stable_diffusion.pipeline_stable_diffusion_img2img import Stable
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_inpaint import StableDiffusionInpaintPipeline
 from .pipelines.stable_diffusion_3.pipeline_stable_diffusion_3 import StableDiffusion3Pipeline
 from .pipelines.wan.pipeline_wan import WanPipeline
+from .pipelines.ltx.pipeline_ltx import LTXPipeline
 from .quantizers import Fp8WeightOnlyConfig, Int8DynamicActConfig, Int8WeightOnlyConfig, quantize_params
 from .schedulers import (
     DDIMInverseScheduler,

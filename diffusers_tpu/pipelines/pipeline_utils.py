@@ -74,6 +74,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "SanaTransformer2DModel": "diffusers_tpu.models.transformers.sana_transformer.SanaTransformer2DModel",
     "ControlNetModel": "diffusers_tpu.models.controlnets.controlnet.ControlNetModel",
     "PixArtTransformer2DModel": "diffusers_tpu.models.transformers.pixart_transformer_2d.PixArtTransformer2DModel",
+    "LTXVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_ltx.LTXVideoTransformer3DModel",
+    "AutoencoderKLLTXVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx.AutoencoderKLLTXVideo",
 }
 
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {

@@ -27,20 +27,21 @@ logger = logging.get_logger(__name__)
 
 
 def _quantize_kernel_int8(kernel: jax.Array):
-    """[in, out] → int8 kernel + per-out-channel scale."""
-    k = np.asarray(kernel, dtype=np.float32)
-    absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)  # [out]
-    scale = (absmax / 127.0).astype(np.float32)
-    q = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
-    return jnp.asarray(q), jnp.asarray(scale)
+    """[in, out] → int8 kernel + per-out-channel scale (on-device: avoids a
+    host round-trip per layer, which is prohibitive through the axon tunnel)."""
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(k), axis=0), 1e-8)  # [out]
+    scale = absmax / 127.0
+    q = jnp.clip(jnp.round(k / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _quantize_kernel_fp8(kernel: jax.Array):
-    k = np.asarray(kernel, dtype=np.float32)
-    absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)
-    scale = (absmax / 448.0).astype(np.float32)  # e4m3 max normal
-    q = jnp.asarray((k / scale[None, :]), dtype=jnp.float8_e4m3fn)
-    return q, jnp.asarray(scale)
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(k), axis=0), 1e-8)
+    scale = absmax / 448.0  # e4m3 max normal
+    q = (k / scale[None, :]).astype(jnp.float8_e4m3fn)
+    return q, scale
 
 
 def quantize_params(params, config: QuantizationConfig, path: str = ""):
