@@ -92,12 +92,12 @@ def _native_attention(
 
 @register_attention_backend("pallas_flash")
 def _pallas_flash_attention(query, key, value, attn_mask=None, scale=None, is_causal=False):
-    from .pallas.flash_attention import flash_attention
+    """Differentiable LSE-carrying flash kernel with additive-mask support
+    (ops/pallas/flash_attention_bwd.py); falls back to native internally when
+    shapes don't tile."""
+    from .pallas.flash_attention_bwd import flash_attention_full
 
-    if attn_mask is not None:
-        # masked paths fall back to native until the kernel grows mask support
-        return _native_attention(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
-    return flash_attention(query, key, value, scale=scale, is_causal=is_causal)
+    return flash_attention_full(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
 
 
 @register_attention_backend("ring")

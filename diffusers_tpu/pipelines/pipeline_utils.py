@@ -146,6 +146,11 @@ class DiffusionPipeline(ConfigMixin):
     ):
         from ..utils.hub_utils import snapshot_download_repo
 
+        expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
+        # components passed directly override loading (reference
+        # pipeline_utils.py:632 `passed_class_obj` semantics)
+        passed_components = {k: kwargs.pop(k) for k in list(kwargs) if k in expected}
+
         root = str(pretrained_model_name_or_path)
         if not os.path.isdir(root):
             root = snapshot_download_repo(root, **kwargs)
@@ -153,10 +158,9 @@ class DiffusionPipeline(ConfigMixin):
         with open(os.path.join(root, PIPELINE_CONFIG_NAME)) as f:
             config_dict = json.load(f)
 
-        expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
-        init_kwargs = {}
+        init_kwargs = dict(passed_components)
         for name, value in config_dict.items():
-            if name.startswith("_") or name not in expected:
+            if name.startswith("_") or name not in expected or name in init_kwargs:
                 continue
             if not isinstance(value, (list, tuple)) or len(value) != 2:
                 init_kwargs[name] = value  # plain config flag (e.g. requires_safety_checker)
