@@ -75,12 +75,166 @@ class VaeImageProcessor(ConfigMixin):
         sf = self.config.vae_scale_factor
         return height - height % sf, width - width % sf
 
-    def resize(self, image, height: int, width: int):
+    # ----------------------------------------------------------- PIL utils
+    @staticmethod
+    def convert_to_rgb(image):
+        return image.convert("RGB")
+
+    @staticmethod
+    def convert_to_grayscale(image):
+        return image.convert("L")
+
+    @staticmethod
+    def blur(image, blur_factor: int = 4):
+        """Gaussian-blur a PIL image (reference `image_processor.py:271`)."""
+        from PIL import ImageFilter
+
+        return image.filter(ImageFilter.GaussianBlur(blur_factor))
+
+    @staticmethod
+    def get_crop_region(mask_image, width: int, height: int, pad: int = 0):
+        """Bounding rectangle of the mask's nonzero region, expanded to the
+        processing aspect ratio (reference `image_processor.py:288` — the
+        webui-style 'inpaint only masked' crop)."""
+        mask = np.asarray(mask_image.convert("L"))
+        h, w = mask.shape
+        ys, xs = np.nonzero(mask)
+        if len(xs) == 0:
+            return 0, 0, w, h
+        x1 = max(int(xs.min()) - pad, 0)
+        x2 = min(int(xs.max()) + 1 + pad, w)
+        y1 = max(int(ys.min()) - pad, 0)
+        y2 = min(int(ys.max()) + 1 + pad, h)
+
+        # expand to the target aspect ratio around the mask region
+        ratio_crop = (x2 - x1) / (y2 - y1)
+        ratio_proc = width / height
+        if ratio_crop > ratio_proc:
+            desired_height = int((x2 - x1) / ratio_proc)
+            diff = desired_height - (y2 - y1)
+            y1 -= diff // 2
+            y2 += diff - diff // 2
+            if y2 > h:
+                y1 -= y2 - h
+                y2 = h
+            if y1 < 0:
+                y2 -= y1
+                y1 = 0
+            y2 = min(y2, h)
+        else:
+            desired_width = int((y2 - y1) * ratio_proc)
+            diff = desired_width - (x2 - x1)
+            x1 -= diff // 2
+            x2 += diff - diff // 2
+            if x2 > w:
+                x1 -= x2 - w
+                x2 = w
+            if x1 < 0:
+                x2 -= x1
+                x1 = 0
+            x2 = min(x2, w)
+        return x1, y1, x2, y2
+
+    def _resample(self):
+        from PIL import Image
+
+        return {
+            "lanczos": Image.LANCZOS,
+            "bilinear": Image.BILINEAR,
+            "bicubic": Image.BICUBIC,
+            "nearest": Image.NEAREST,
+        }[self.config.resample]
+
+    def _resize_and_fill(self, image, width: int, height: int):
+        """Fit within the target, filling the borders by edge replication
+        (reference `_resize_and_fill`, image_processor.py:377)."""
+        from PIL import Image
+
+        ratio = width / height
+        src_ratio = image.width / image.height
+        src_w = width if ratio < src_ratio else image.width * height // image.height
+        src_h = height if ratio >= src_ratio else image.height * width // image.width
+        resized = image.resize((src_w, src_h), resample=self._resample())
+        res = Image.new("RGB", (width, height))
+        res.paste(resized, box=((width - src_w) // 2, (height - src_h) // 2))
+        if ratio < src_ratio:
+            fill_height = height // 2 - src_h // 2
+            if fill_height > 0:
+                res.paste(resized.resize((width, fill_height), box=(0, 0, width, 0)), box=(0, 0))
+                res.paste(
+                    resized.resize((width, fill_height), box=(0, resized.height, width, resized.height)),
+                    box=(0, fill_height + src_h),
+                )
+        elif ratio > src_ratio:
+            fill_width = width // 2 - src_w // 2
+            if fill_width > 0:
+                res.paste(resized.resize((fill_width, height), box=(0, 0, 0, height)), box=(0, 0))
+                res.paste(
+                    resized.resize((fill_width, height), box=(resized.width, 0, resized.width, height)),
+                    box=(fill_width + src_w, 0),
+                )
+        return res
+
+    def _resize_and_crop(self, image, width: int, height: int):
+        """Fill the target, cropping the excess (reference `_resize_and_crop`,
+        image_processor.py:429)."""
+        ratio = width / height
+        src_ratio = image.width / image.height
+        src_w = width if ratio > src_ratio else image.width * height // image.height
+        src_h = height if ratio <= src_ratio else image.height * width // image.width
+        resized = image.resize((src_w, src_h), resample=self._resample())
+        left = (src_w - width) // 2
+        top = (src_h - height) // 2
+        return resized.crop((left, top, left + width, top + height))
+
+    def resize(self, image, height: int, width: int, resize_mode: str = "default"):
+        """Resize PIL / numpy HWC-batch inputs; modes "default" (stretch),
+        "fill", "crop" are PIL-only like the reference (image_processor.py:462)."""
         from PIL import Image
 
         if isinstance(image, Image.Image):
-            return image.resize((width, height), resample=Image.LANCZOS)
-        raise ValueError("resize currently supports PIL inputs")
+            if resize_mode == "default":
+                return image.resize((width, height), resample=self._resample())
+            if resize_mode == "fill":
+                return self._resize_and_fill(image, width, height)
+            if resize_mode == "crop":
+                return self._resize_and_crop(image, width, height)
+            raise ValueError(f"resize_mode {resize_mode} is not supported")
+        if resize_mode != "default":
+            raise ValueError(f"Only PIL image input is supported for resize_mode {resize_mode}")
+        # numpy [B, H, W, C]: nearest resize via index maps (host-side)
+        arr = np.asarray(image)
+        b, h, w, c = arr.shape
+        yi = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+        xi = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+        return arr[:, yi][:, :, xi]
+
+    def binarize(self, image):
+        """PIL mask → {0, 255} (reference image_processor.py:523)."""
+        from PIL import Image
+
+        arr = np.asarray(image.convert("L"), dtype=np.float32) / 255.0
+        return Image.fromarray(((arr >= 0.5) * 255).astype(np.uint8), mode="L")
+
+    def apply_overlay(self, mask, init_image, image, crop_coords=None):
+        """Composite the generated region over the original image through the
+        mask (reference `apply_overlay`, image_processor.py:788): outside the
+        mask the original pixels survive exactly."""
+        w, h = init_image.width, init_image.height
+        init = np.asarray(init_image.convert("RGB"), dtype=np.float32)
+        m = np.asarray(self.resize(mask, h, w).convert("L"), dtype=np.float32)[..., None] / 255.0
+        if crop_coords is not None:
+            x1, y1, x2, y2 = crop_coords
+            gen = np.asarray(
+                self.resize(image, y2 - y1, x2 - x1, resize_mode="crop").convert("RGB"), dtype=np.float32
+            )
+            out = init.copy()
+            region_mask = m[y1:y2, x1:x2]
+            out[y1:y2, x1:x2] = init[y1:y2, x1:x2] * (1 - region_mask) + gen * region_mask
+        else:
+            gen = np.asarray(self.resize(image, h, w, resize_mode="crop").convert("RGB"), dtype=np.float32)
+            out = init * (1 - m) + gen * m
+        return numpy_to_pil(out[None] / 255.0)[0]
 
     def preprocess(self, image, height: Optional[int] = None, width: Optional[int] = None) -> np.ndarray:
         """PIL / numpy HWC / NCHW → normalized NCHW float32 numpy."""
@@ -114,3 +268,95 @@ class VaeImageProcessor(ConfigMixin):
         if output_type == "jax":
             return jnp.asarray(image)
         raise ValueError(f"unsupported output_type {output_type}")
+
+
+class InpaintProcessor(ConfigMixin):
+    """Paired image+mask preprocessing and overlay-merging postprocess for
+    inpaint pipelines (reference `image_processor.py:836` InpaintProcessor)."""
+
+    config_name = "config.json"
+
+    @register_to_config
+    def __init__(self, do_resize: bool = True, vae_scale_factor: int = 8, resample: str = "lanczos",
+                 do_normalize: bool = True, mask_do_normalize: bool = False, mask_do_binarize: bool = True):
+        self._image_processor = VaeImageProcessor(
+            do_resize=do_resize, vae_scale_factor=vae_scale_factor, resample=resample, do_normalize=do_normalize
+        )
+
+    def preprocess(self, image, mask, height=None, width=None, padding_mask_crop=None):
+        """→ (image NCHW in [-1,1], mask NCHW in {0,1}[, crop_coords])."""
+        proc = self._image_processor
+        crop_coords = None
+        if padding_mask_crop is not None:
+            crop_coords = proc.get_crop_region(mask, width or image.width, height or image.height,
+                                               pad=padding_mask_crop)
+            image = image.crop(crop_coords)
+            mask = mask.crop(crop_coords)
+        height, width = proc.get_default_height_width(image, height, width)
+        image_t = proc.preprocess(image, height, width)
+        mask = proc.binarize(proc.resize(mask.convert("L"), height, width))
+        mask_t = (np.asarray(mask, dtype=np.float32) / 255.0)[None, None]
+        if crop_coords is not None:
+            return image_t, mask_t, crop_coords
+        return image_t, mask_t
+
+    def postprocess(self, image, original_image=None, original_mask=None, crop_coords=None):
+        """Overlay the generated result over the untouched original through
+        the mask (exact passthrough outside the mask)."""
+        pil_images = self._image_processor.postprocess(image, output_type="pil")
+        if original_image is None or original_mask is None:
+            return pil_images
+        return [
+            self._image_processor.apply_overlay(original_mask, original_image, im, crop_coords)
+            for im in pil_images
+        ]
+
+
+class IPAdapterMaskProcessor(VaeImageProcessor):
+    """Mask preprocessing for IP-Adapter attention masking (reference
+    `image_processor.py:1270`): grayscale {0,1} masks + downsampling to the
+    attention sequence length."""
+
+    @register_to_config
+    def __init__(self, do_resize: bool = True, vae_scale_factor: int = 8, resample: str = "lanczos",
+                 do_normalize: bool = False, do_binarize: bool = True, do_convert_grayscale: bool = True):
+        pass
+
+    def preprocess(self, image, height=None, width=None):
+        from PIL import Image
+
+        if isinstance(image, Image.Image):
+            image = [image]
+        if isinstance(image, list) and isinstance(image[0], Image.Image):
+            arrs = []
+            for im in image:
+                im = im.convert("L")
+                if height is not None and width is not None:
+                    im = im.resize((width, height), resample=Image.LANCZOS)
+                arrs.append(np.asarray(im, dtype=np.float32) / 255.0)
+            out = np.stack(arrs)[:, None]  # [B, 1, H, W]
+        else:
+            out = np.asarray(image, dtype=np.float32)
+            if out.ndim == 3:
+                out = out[:, None]
+        return (out >= 0.5).astype(np.float32)
+
+    @staticmethod
+    def downsample(mask: np.ndarray, batch_size: int, num_queries: int, value_embed_dim: int):
+        """[B,1,H,W] mask → [B*batch, num_queries, value_embed_dim]-broadcastable
+        attention mask (reference `IPAdapterMaskProcessor.downsample`)."""
+        o_h, o_w = mask.shape[-2:]
+        ratio = o_w / o_h
+        mask_h = int(math.sqrt(num_queries / ratio))
+        mask_h = int(mask_h) + int((num_queries % int(mask_h)) != 0)
+        mask_w = num_queries // mask_h
+
+        yi = (np.arange(mask_h) * (o_h / mask_h)).astype(np.int64).clip(0, o_h - 1)
+        xi = (np.arange(mask_w) * (o_w / mask_w)).astype(np.int64).clip(0, o_w - 1)
+        small = mask[:, 0][:, yi][:, :, xi].reshape(mask.shape[0], -1)  # [B, h*w]
+        if small.shape[1] < num_queries:
+            small = np.pad(small, ((0, 0), (0, num_queries - small.shape[1])))
+        small = small[:, :num_queries]
+        if mask.shape[0] < batch_size:
+            small = np.repeat(small, batch_size // mask.shape[0], axis=0)
+        return np.repeat(small[:, :, None], value_embed_dim, axis=2)

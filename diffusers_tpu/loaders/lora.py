@@ -200,3 +200,156 @@ def load_lora_weights(path_or_state_dict, params, component: Optional[str] = Non
         sd = path_or_state_dict
     grouped = group_lora_weights(sd, component=component)
     return fuse_lora(params, grouped, scale=scale)
+
+
+def fuse_lora_multi(params, adapters):
+    """Fuse several adapters at once: ``W' = W + Σ_i scale_i · Δ_i``.
+
+    adapters: list of (grouped_weights, scale). One pytree pass; unaffected
+    leaves alias the input (no copy). Reference analogue: PEFT's multi-adapter
+    merge under set_adapters (loaders/peft.py:661)."""
+    # collect per-path summed deltas
+    deltas: Dict[str, np.ndarray] = {}
+    for grouped, scale in adapters:
+        for path, (A, B, alpha) in grouped.items():
+            r = A.shape[0]
+            eff = scale * ((alpha / r) if alpha is not None else 1.0)
+            d = (B.astype(np.float32) @ A.astype(np.float32)).T * eff
+            deltas[path] = deltas[path] + d if path in deltas else d
+
+    def deep_copy_dicts(d):
+        if isinstance(d, dict):
+            return {k: deep_copy_dicts(v) for k, v in d.items()}
+        return d
+
+    new_params = deep_copy_dicts(params)
+    missed = []
+    for path, delta in deltas.items():
+        parts = [int(p) if p.isdigit() else p for p in path.split(".")]
+        leaf_tree = _get_nested(new_params, parts)
+        if leaf_tree is None or "kernel" not in leaf_tree:
+            missed.append(path)
+            continue
+        kernel = leaf_tree["kernel"]
+        leaf_tree["kernel"] = (kernel.astype(jnp.float32) + jnp.asarray(delta)).astype(kernel.dtype)
+    if missed:
+        logger.warning(f"{len(missed)} LoRA modules had no matching param path, e.g. {missed[:5]}")
+    return new_params
+
+
+def _load_state_dict(source) -> Dict[str, np.ndarray]:
+    if isinstance(source, str):
+        from safetensors import safe_open
+
+        sd = {}
+        with safe_open(source, framework="numpy") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+        return sd
+    return dict(source)
+
+
+_LORA_COMPONENT_NAMES = ("transformer", "unet", "text_encoder", "text_encoder_2")
+
+
+class PipelineLoraMixin:
+    """Pipeline-level LoRA runtime: named adapters, per-adapter scales,
+    activation without reloading base weights.
+
+    TPU-native counterpart of the reference's PeftAdapterMixin +
+    LoraBaseMixin runtime surface (`loaders/peft.py:57,661` load/fuse/unfuse/
+    set_adapters, `lora_base.py:478`): adapters are stored as grouped
+    (A, B, alpha) deltas; activation builds fresh fused params from the
+    pristine base in one pytree pass (unaffected leaves alias the base — no
+    duplicate HBM), so the per-step hot path stays a single matmul per layer
+    where the reference pays a second LoRA matmul.
+    """
+
+    def load_lora_weights(self, source, adapter_name: str = "default", scale: float = 1.0):
+        """Load and activate a LoRA (reference load_lora_weights semantics:
+        newly loaded adapters become the active set)."""
+        sd = _load_state_dict(source)
+        adapter = {}
+        for name in _LORA_COMPONENT_NAMES:
+            comp = getattr(self, name, None)
+            if not (isinstance(comp, tuple) and len(comp) == 2 and comp[1] is not None):
+                continue
+            grouped = group_lora_weights(sd, component=name)
+            if grouped:
+                adapter[name] = grouped
+        if not adapter:
+            # prefix-less checkpoints: attribute everything to the denoiser
+            for name in ("transformer", "unet"):
+                comp = getattr(self, name, None)
+                if isinstance(comp, tuple) and comp[1] is not None:
+                    grouped = group_lora_weights(sd, component=None)
+                    if grouped:
+                        adapter[name] = grouped
+                    break
+        if not adapter:
+            raise ValueError("no LoRA weights matched any pipeline component")
+
+        if not hasattr(self, "_lora_adapters"):
+            self._lora_adapters = {}
+            self._lora_base = {}
+        for name in adapter:
+            if name not in self._lora_base:
+                self._lora_base[name] = getattr(self, name)[1]
+        self._lora_adapters[adapter_name] = adapter
+        self.set_adapters([adapter_name], [scale])
+
+    def set_adapters(self, adapter_names, adapter_weights=None):
+        """Activate adapters at per-adapter scales (reference
+        `lora_base.py set_adapters`): rebuilds fused params from the base."""
+        if isinstance(adapter_names, str):
+            adapter_names = [adapter_names]
+        if adapter_weights is None:
+            adapter_weights = [1.0] * len(adapter_names)
+        elif not isinstance(adapter_weights, (list, tuple)):
+            adapter_weights = [adapter_weights] * len(adapter_names)
+        unknown = [n for n in adapter_names if n not in getattr(self, "_lora_adapters", {})]
+        if unknown:
+            raise ValueError(f"unknown adapter(s) {unknown}; loaded: {list(self._lora_adapters)}")
+
+        for comp_name, base_params in self._lora_base.items():
+            selected = [
+                (self._lora_adapters[n][comp_name], w)
+                for n, w in zip(adapter_names, adapter_weights)
+                if comp_name in self._lora_adapters[n]
+            ]
+            module = getattr(self, comp_name)[0]
+            if selected:
+                setattr(self, comp_name, (module, fuse_lora_multi(base_params, selected)))
+            else:
+                setattr(self, comp_name, (module, base_params))
+        self._active_adapters = dict(zip(adapter_names, adapter_weights))
+        if hasattr(self, "clear_jit_cache"):
+            self.clear_jit_cache()
+
+    def get_active_adapters(self):
+        return dict(getattr(self, "_active_adapters", {}))
+
+    def disable_lora(self):
+        """Restore pristine base params (reference unfuse_lora/disable_lora)."""
+        for comp_name, base_params in getattr(self, "_lora_base", {}).items():
+            module = getattr(self, comp_name)[0]
+            setattr(self, comp_name, (module, base_params))
+        self._active_adapters = {}
+        if hasattr(self, "clear_jit_cache"):
+            self.clear_jit_cache()
+
+    # reference naming alias
+    unfuse_lora = disable_lora
+
+    def delete_adapters(self, adapter_names):
+        if isinstance(adapter_names, str):
+            adapter_names = [adapter_names]
+        for n in adapter_names:
+            self._lora_adapters.pop(n, None)
+            if n in getattr(self, "_active_adapters", {}):
+                self._active_adapters.pop(n)
+        # re-apply remaining active set (or base if none)
+        if getattr(self, "_active_adapters", None):
+            self.set_adapters(list(self._active_adapters), list(self._active_adapters.values()))
+        else:
+            self.disable_lora()

@@ -245,3 +245,10 @@ class T5EncoderModel(Module, ModelMixin, ConfigMixin):
         state.pop("encoder.embed_tokens.weight", None)
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
         return model, params
+
+    def save_pretrained(self, save_directory, params, **kwargs):
+        """transformers layout: model.safetensors (+ config.json), so our own
+        from_pretrained round-trips."""
+        from .clip import _save_transformers_style
+
+        _save_transformers_style(self, save_directory, params)

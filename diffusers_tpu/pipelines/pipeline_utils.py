@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configuration_utils import ConfigMixin, FrozenDict
+from ..loaders.lora import PipelineLoraMixin
 from ..utils import logging
 from ..version_info import __version__
 
@@ -111,7 +112,7 @@ def resolve_component_class(library: str, class_name: str):
     raise ValueError(f"No TPU-native implementation registered for component class {class_name!r} ({library})")
 
 
-class DiffusionPipeline(ConfigMixin):
+class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
     """Base pipeline. Subclasses declare components via `register_modules` in
     __init__ and implement `__call__`."""
 
