@@ -50,6 +50,8 @@ from .pipelines.flux.pipeline_flux import FluxPipeline
 from .pipelines.pipeline_utils import DiffusionPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion import StableDiffusionPipeline
 from .pipelines.flux.pipeline_flux_img2img import FluxImg2ImgPipeline
+from .pipelines.flux.pipeline_flux_fill import FluxFillPipeline
+from .pipelines.flux.pipeline_flux_kontext import FluxKontextPipeline
 from .pipelines.latent_consistency_models import LatentConsistencyModelPipeline
 from .pipelines.sana import SanaPipeline
 from .pipelines.tcd import TCDPipeline

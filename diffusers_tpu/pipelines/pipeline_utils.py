@@ -66,6 +66,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "SASolverScheduler": "diffusers_tpu.schedulers.scheduling_sasolver.SASolverScheduler",
     "DDIMInverseScheduler": "diffusers_tpu.schedulers.scheduling_ddim_inverse.DDIMInverseScheduler",
     "EDMEulerScheduler": "diffusers_tpu.schedulers.scheduling_edm_euler.EDMEulerScheduler",
+    "FlowMatchHeunDiscreteScheduler": "diffusers_tpu.schedulers.scheduling_flow_match_heun_discrete.FlowMatchHeunDiscreteScheduler",
+    "SCMScheduler": "diffusers_tpu.schedulers.scheduling_scm.SCMScheduler",
+    "DPMSolverSDEScheduler": "diffusers_tpu.schedulers.scheduling_dpmsolver_sde.DPMSolverSDEScheduler",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "WanTransformer3DModel": "diffusers_tpu.models.transformers.transformer_wan.WanTransformer3DModel",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
@@ -186,6 +189,29 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
                 init_kwargs[name] = None
 
         return cls(**init_kwargs)
+
+    @classmethod
+    def from_pipe(cls, pipeline: "DiffusionPipeline", **overrides):
+        """Re-bind an existing pipeline's components into a sibling task
+        pipeline with zero extra memory (reference `pipeline_utils.py:2122`
+        from_pipe): components are shared by reference; `overrides` replaces
+        or adds components by name."""
+        expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
+        kwargs = {}
+        for name in expected:
+            if name in overrides:
+                kwargs[name] = overrides.pop(name)
+                continue
+            comp = getattr(pipeline, name, None)
+            if comp is not None:
+                kwargs[name] = comp
+            elif name in pipeline.config and not isinstance(pipeline.config[name], (list, tuple)):
+                kwargs[name] = pipeline.config[name]  # plain config flag
+            elif name in cls._optional_components:
+                kwargs[name] = None
+        if overrides:
+            raise ValueError(f"from_pipe got components {list(overrides)} not accepted by {cls.__name__}")
+        return cls(**kwargs)
 
     def save_pretrained(self, save_directory: Union[str, os.PathLike], **kwargs):
         os.makedirs(save_directory, exist_ok=True)

@@ -65,3 +65,9 @@ from .scheduling_k_dpm_2_ancestral_discrete import (
     KDPM2AncestralDiscreteSchedulerOutput,
     KDPM2AncestralDiscreteSchedulerState,
 )
+from .scheduling_flow_match_heun_discrete import (
+    FlowMatchHeunDiscreteScheduler,
+    FlowMatchHeunDiscreteSchedulerOutput,
+)
+from .scheduling_scm import SCMScheduler, SCMSchedulerOutput
+from .scheduling_dpmsolver_sde import DPMSolverSDEScheduler, DPMSolverSDESchedulerOutput

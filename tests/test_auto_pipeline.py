@@ -49,3 +49,32 @@ def test_auto_pipeline_task_resolution(tmp_path):
         output_type="np",
     )
     assert out.images.shape == (1, 8, 8, 3) and np.isfinite(out.images).all()
+
+
+def test_from_pipe_shares_components():
+    """from_pipe rebinds components by reference (pipeline_utils.py:2122)."""
+    import jax
+    import numpy as np
+
+    from diffusers_tpu.pipelines.stable_diffusion.pipeline_stable_diffusion_img2img import (
+        StableDiffusionImg2ImgPipeline,
+    )
+    from tests.test_pipeline_stable_diffusion import get_dummy_pipeline
+
+    t2i = get_dummy_pipeline()
+    i2i = StableDiffusionImg2ImgPipeline.from_pipe(t2i)
+    assert i2i.unet[1] is t2i.unet[1]  # zero-copy component sharing
+    assert i2i.vae[1] is t2i.vae[1]
+
+    image = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    from PIL import Image
+
+    out = i2i(
+        prompt="from_pipe check",
+        image=Image.fromarray((image * 255).astype(np.uint8)),
+        strength=0.5,
+        num_inference_steps=2,
+        output_type="np",
+        key=jax.random.PRNGKey(0),
+    ).images
+    assert np.isfinite(out).all()

@@ -114,3 +114,58 @@ def test_flux_img2img():
                 guidance_scale=3.5, key=jax.random.PRNGKey(0), output_type="np").images
     ref = ((image[0].transpose(1, 2, 0) + 1) / 2).clip(0, 1)
     assert np.abs(near - ref).mean() < np.abs(out.images - ref).mean() + 0.5
+
+
+def test_flux_fill_pipeline():
+    """Fill: conditioning channels (masked image + unshuffled mask) appended
+    per step; transformer in_channels = latent*4 + latent*4 + vsf^2*4."""
+    from diffusers_tpu.pipelines.flux.pipeline_flux_fill import FluxFillPipeline
+
+    base = get_dummy_pipeline()
+    vae, vae_params = base.vae
+    # tiny fill transformer: latent c=1 → 4 + (4 + vsf(=1)^2*4) = 12 channels
+    transformer = FluxTransformer2DModel(
+        patch_size=1, in_channels=12, out_channels=4, num_layers=1, num_single_layers=1,
+        attention_head_dim=16, num_attention_heads=2, joint_attention_dim=32,
+        pooled_projection_dim=32, axes_dims_rope=(4, 6, 6),
+    )
+    pipe = FluxFillPipeline(
+        scheduler=base.scheduler, vae=base.vae, text_encoder=base.text_encoder,
+        tokenizer=base.tokenizer, text_encoder_2=base.text_encoder_2,
+        tokenizer_2=base.tokenizer_2,
+        transformer=(transformer, transformer.init_params(jax.random.PRNGKey(1))),
+    )
+    rng = np.random.RandomState(0)
+    image = rng.rand(32, 32, 3).astype(np.float32)
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[:, 8:24, 8:24] = 1.0
+    out = pipe(
+        prompt="fill the hole", image=[__import__("PIL.Image", fromlist=["Image"]).fromarray((image*255).astype(np.uint8))],
+        mask_image=mask, height=32, width=32, num_inference_steps=2,
+        output_type="np", key=jax.random.PRNGKey(0),
+    ).images
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_flux_kontext_pipeline():
+    """Kontext: reference-image tokens appended along the sequence axis with
+    offset RoPE ids; prediction sliced back to the noise tokens."""
+    from diffusers_tpu.pipelines.flux.pipeline_flux_kontext import FluxKontextPipeline
+
+    base = get_dummy_pipeline()
+    pipe = FluxKontextPipeline(
+        scheduler=base.scheduler, vae=base.vae, text_encoder=base.text_encoder,
+        tokenizer=base.tokenizer, text_encoder_2=base.text_encoder_2,
+        tokenizer_2=base.tokenizer_2, transformer=base.transformer,
+    )
+    rng = np.random.RandomState(1)
+    ref_img = __import__("PIL.Image", fromlist=["Image"]).fromarray(
+        (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    )
+    out = pipe(
+        prompt="make it night", image=ref_img, height=32, width=32,
+        num_inference_steps=2, output_type="np", key=jax.random.PRNGKey(0),
+    ).images
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()

@@ -581,3 +581,123 @@ def test_unipc_order3_small_steps_lower_order_final():
     ref = run_reference(TorchUniPC, cfg, num_steps=6)
     ours = run_ours(UniPCMultistepScheduler, cfg, num_steps=6)
     assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
+
+
+def test_flow_match_heun_matches_reference():
+    import torch
+    from diffusers import FlowMatchHeunDiscreteScheduler as TorchFMH
+
+    from diffusers_tpu.schedulers import FlowMatchHeunDiscreteScheduler
+
+    for shift in (1.0, 3.0):
+        cfg = dict(num_train_timesteps=1000, shift=shift)
+        # torch FlowMatchHeun has no scale_model_input — plain loop
+        tsch = TorchFMH(**cfg)
+        tsch.set_timesteps(8)
+        sample = torch.from_numpy(dummy_sample_deter())
+        for t in tsch.timesteps:
+            residual = sample * t / (t + 1)
+            sample = tsch.step(residual, t, sample).prev_sample
+        ref = sample.numpy()
+
+        sch = FlowMatchHeunDiscreteScheduler(**cfg)
+        state = sch.set_timesteps(8)
+        s = jnp.asarray(dummy_sample_deter())
+        for t in np.asarray(state.timesteps):
+            residual = s * t / (t + 1)
+            out = sch.step(state, residual, t, s)
+            s, state = out.prev_sample, out.state
+        ours = np.asarray(s)
+        assert np.max(np.abs(ref - ours)) < 1e-3, (shift, np.max(np.abs(ref - ours)))
+
+
+def test_scm_matches_reference_single_step_and_trig_identity():
+    import jax
+    import torch
+    from diffusers import SCMScheduler as TorchSCM
+
+    from diffusers_tpu.schedulers import SCMScheduler
+
+    # 1-step is deterministic (t=0 ⇒ no re-noise): exact parity
+    sample = dummy_sample_deter()
+    tsch = TorchSCM()
+    tsch.set_timesteps(1, intermediate_timesteps=None)
+    t0 = tsch.timesteps[0]
+    residual = torch.from_numpy(sample) * 0.1
+    ref = tsch.step(residual, t0, torch.from_numpy(sample)).prev_sample.numpy()
+
+    ours_sch = SCMScheduler()
+    state = ours_sch.set_timesteps(1)
+    out = ours_sch.step(state, jnp.asarray(sample) * 0.1, state.timesteps[0], jnp.asarray(sample))
+    assert np.max(np.abs(np.asarray(out.prev_sample) - ref)) < 1e-5
+
+    # multi-step: verify the trigflow identity against a manual computation
+    state = ours_sch.set_timesteps(2)  # [max, 1.3, 0]
+    key = jax.random.PRNGKey(0)
+    out = ours_sch.step(state, jnp.asarray(sample) * 0.1, state.timesteps[0], jnp.asarray(sample), key=key)
+    s, t = np.asarray(state.timesteps[:2])
+    x0 = np.cos(s) * sample - np.sin(s) * sample * 0.1
+    from diffusers_tpu.utils.jax_utils import randn_tensor
+
+    noise = np.asarray(randn_tensor(sample.shape, key=key)) * 0.5
+    manual = np.cos(t) * x0 + np.sin(t) * noise
+    assert np.max(np.abs(np.asarray(out.prev_sample) - manual)) < 1e-5
+
+
+def test_dpmsolver_sde_matches_numpy_oracle():
+    """torchsde is unavailable (the reference class can't instantiate), so the
+    oracle is a direct numpy transcription of the reference step math
+    (scheduling_dpmsolver_sde.py:700-760) with injected noise."""
+    from diffusers_tpu.schedulers import DPMSolverSDEScheduler
+
+    for karras in (False, True):
+        cfg = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+                   use_karras_sigmas=karras)
+        sch = DPMSolverSDEScheduler(**cfg)
+        state = sch.set_timesteps(8)
+        sigmas = np.asarray(state.sigmas, dtype=np.float64)
+        timesteps = np.asarray(state.timesteps)
+        rng = np.random.RandomState(0)
+        fixed = [rng.randn(*dummy_sample_deter().shape).astype(np.float32) for _ in range(len(timesteps))]
+
+        # ---- numpy oracle (reference math, verbatim formulas) ----
+        x = dummy_sample_deter().astype(np.float64) * float(state.init_noise_sigma)
+        buffered = None
+        for i, t in enumerate(timesteps):
+            inp = x / (sigmas[i] ** 2 + 1) ** 0.5
+            residual = (inp * t / (t + 1)).astype(np.float64)
+            first = i % 2 == 0
+            sigma = sigmas[i] if first else sigmas[i - 1]
+            sigma_next = sigmas[i + 1] if first else sigmas[i]
+            tt, t_next_full = -np.log(sigma), -np.log(max(sigma_next, 1e-20))
+            t_prop = tt + (t_next_full - tt) * 0.5
+            sigma_input = sigma if first else np.exp(-t_prop)
+            pred_x0 = x - sigma_input * residual
+            if sigma_next == 0:
+                d = (x - pred_x0) / sigma
+                x = x + d * (sigma_next - sigma)
+            else:
+                t_next = t_prop if first else t_next_full
+                base = x if first else buffered
+                s_from, s_to = np.exp(-tt), np.exp(-t_next)
+                s_up = min(s_to, (s_to**2 * (s_from**2 - s_to**2) / s_from**2) ** 0.5)
+                s_down = (s_to**2 - s_up**2) ** 0.5
+                anc_t = -np.log(max(s_down, 1e-20))
+                x_new = (np.exp(-anc_t) / np.exp(-tt)) * base - np.expm1(tt - anc_t) * pred_x0
+                x_new = x_new + fixed[i].astype(np.float64) * s_up
+                if first:
+                    buffered = x
+                x = x_new
+        ref = x
+
+        # ---- ours ----
+        state = sch.set_timesteps(8)
+        s_j = jnp.asarray(dummy_sample_deter()) * state.init_noise_sigma
+        for i, t in enumerate(np.asarray(state.timesteps)):
+            inp = sch.scale_model_input(state, s_j, t)
+            residual = inp * t / (t + 1)
+            out = sch.step(state, residual, t, s_j, variance_noise=jnp.asarray(fixed[i]))
+            s_j, state = out.prev_sample, out.state
+        ours = np.asarray(s_j, dtype=np.float64)
+        err = np.max(np.abs(ref - ours)) / max(np.abs(ref).max(), 1e-6)
+        assert err < 1e-3, (karras, err)
