@@ -88,11 +88,14 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "CLIPVisionModel": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModel",
     "CLIPVisionModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModelWithProjection",
     "T5EncoderModel": "diffusers_tpu.models.text_encoders.t5.T5EncoderModel",
+    "Gemma2Model": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
+    "Gemma2ForCausalLM": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
 }
 
 # loaded via transformers' own from_pretrained (pure-host preprocessing)
 _TOKENIZER_CLASSES = {
     "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
+    "GemmaTokenizer", "GemmaTokenizerFast",
     "CLIPImageProcessor", "CLIPFeatureExtractor",
 }
 

@@ -44,10 +44,34 @@ class SanaPipeline(DiffusionPipeline):
         self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor)
 
     def encode_prompt(self, prompt, negative_prompt, do_cfg, max_sequence_length: int = 300):
-        """Host-side Gemma encode (the reference crosses into
-        transformers.AutoModelForCausalLM the same way)."""
+        """Gemma prompt encode. Native path: a ``(Gemma2Model, params)`` pair
+        (models/text_encoders/gemma.py — runs on device). Fallback: a torch
+        transformers causal LM on the host (the boundary the reference uses,
+        pipeline_sana.py encode_prompt)."""
         if self.tokenizer is None or self.text_encoder is None:
             raise ValueError("no tokenizer/text_encoder registered — pass prompt_embeds instead")
+
+        if isinstance(self.text_encoder, tuple):  # native JAX Gemma
+            encoder, enc_params = self.text_encoder
+
+            def encode(texts):
+                inputs = self.tokenizer(
+                    texts, padding="max_length", max_length=max_sequence_length, truncation=True,
+                    return_tensors="np",
+                )
+                mask = jnp.asarray(inputs.attention_mask)
+                hidden = encoder(enc_params, jnp.asarray(inputs.input_ids), attention_mask=mask).last_hidden_state
+                return hidden, mask
+
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            embeds, mask = encode(prompts)
+            if not do_cfg:
+                return embeds, mask
+            neg = negative_prompt if negative_prompt is not None else ""
+            neg_prompts = [neg] * len(prompts) if isinstance(neg, str) else list(neg)
+            neg_embeds, neg_mask = encode(neg_prompts)
+            return jnp.concatenate([neg_embeds, embeds]), jnp.concatenate([neg_mask, mask])
+
         import torch
 
         def encode(texts):

@@ -1,0 +1,110 @@
+"""Modular pipeline runtime: block model, sequential/auto dispatch, the
+scanned SD denoise block pack, ComponentsManager dedup (reference
+`modular_pipelines/modular_pipeline.py:321,615,963,1325`,
+`components_manager.py:302`)."""
+
+import jax
+import numpy as np
+import pytest
+
+from diffusers_tpu.modular_pipelines import (
+    AutoPipelineBlocks,
+    ComponentsBundle,
+    ComponentsManager,
+    InputParam,
+    ModularPipeline,
+    ModularPipelineBlocks,
+    OutputParam,
+    PipelineState,
+)
+from diffusers_tpu.modular_pipelines.stable_diffusion import SD_BLOCKS
+
+from tests.test_pipeline_stable_diffusion import get_dummy_pipeline
+
+
+def _components():
+    pipe = get_dummy_pipeline()
+    return ComponentsBundle(
+        unet=pipe.unet, vae=pipe.vae, text_encoder=pipe.text_encoder,
+        tokenizer=pipe.tokenizer, scheduler=pipe.scheduler,
+    ), pipe
+
+
+def test_sd_modular_blocks_match_monolithic_pipeline():
+    components, pipe = _components()
+    modular = ModularPipeline(SD_BLOCKS(), components)
+    kwargs = dict(prompt="a modular fox", height=16, width=16, num_inference_steps=2,
+                  guidance_scale=6.0, key=jax.random.PRNGKey(3))
+    images = modular(output="images", **kwargs, output_type="np")
+    ref = np.asarray(pipe(**kwargs, output_type="np").images)
+    np.testing.assert_allclose(np.asarray(images), ref, atol=1e-4)
+
+
+def test_block_declarations_and_state():
+    blocks = SD_BLOCKS()
+    names = blocks.input_names
+    assert "prompt" in names and "guidance_scale" in names
+    # intermediates produced upstream are not user inputs
+    assert "prompt_embeds" not in names
+    outs = [o.name for o in blocks.intermediate_outputs]
+    assert "latents" in outs and "images" in outs
+
+    state = PipelineState()
+    state.set("a", 1)
+    assert "a" in state and state.get(["a", "b"], default=0) == {"a": 1, "b": 0}
+
+
+def test_auto_block_trigger_dispatch():
+    class A(ModularPipelineBlocks):
+        inputs = [InputParam("image", default=None)]
+        intermediate_outputs = [OutputParam("route")]
+
+        def __call__(self, components, state):
+            state.set("route", "img2img")
+            return state
+
+    class B(ModularPipelineBlocks):
+        inputs = []
+        intermediate_outputs = [OutputParam("route")]
+
+        def __call__(self, components, state):
+            state.set("route", "text2img")
+            return state
+
+    class Auto(AutoPipelineBlocks):
+        block_classes = [A, B]
+        block_names = ["img2img", "text2img"]
+        block_trigger_inputs = ["image", None]
+
+    auto = Auto()
+    s = PipelineState()
+    s.set("image", object())
+    assert auto(None, s).get("route") == "img2img"
+    s2 = PipelineState()
+    assert auto(None, s2).get("route") == "text2img"
+
+
+def test_missing_required_input_raises():
+    class NeedsX(ModularPipelineBlocks):
+        inputs = [InputParam("x", required=True)]
+
+        def __call__(self, components, state):
+            self.get_block_state(state)
+            return state
+
+    with pytest.raises(ValueError, match="missing required input"):
+        NeedsX()(None, PipelineState())
+
+
+def test_components_manager_dedup_and_info():
+    components, pipe = _components()
+    manager = ComponentsManager()
+    name = manager.add("unet", components.unet, collection="sd")
+    # identical param tree registered under a different name → deduped
+    name2 = manager.add("unet_copy", (components.unet[0], components.unet[1]))
+    assert name2 == name
+    info = manager.get_model_info("unet")
+    assert info["num_params"] > 0 and info["memory_bytes"] > 0
+    assert "unet" in manager.get_components_by_collection("sd")
+    manager.remove("unet")
+    assert "unet" not in manager

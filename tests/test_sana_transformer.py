@@ -102,3 +102,46 @@ def test_sana_pipeline_smoke():
     )
     assert out.images.shape == (1, 8, 8, 3)
     assert np.isfinite(out.images).all()
+
+
+def test_sana_pipeline_native_gemma_encode():
+    """Sana with the native JAX Gemma2 encoder (no torch host boundary)."""
+    import jax
+
+    from diffusers_tpu.models.autoencoders.autoencoder_dc import AutoencoderDC
+    from diffusers_tpu.models.text_encoders.gemma import Gemma2Model
+    from diffusers_tpu.models.transformers.sana_transformer import SanaTransformer2DModel
+    from diffusers_tpu.pipelines.sana import SanaPipeline
+    from diffusers_tpu.schedulers import FlowMatchEulerDiscreteScheduler
+
+    from tests.test_pipeline_wan import DummyTokenizer
+
+    key = jax.random.PRNGKey(0)
+    gemma = Gemma2Model(vocab_size=512, hidden_size=12, intermediate_size=24, num_hidden_layers=1,
+                        num_attention_heads=2, num_key_value_heads=1, head_dim=8,
+                        query_pre_attn_scalar=8)
+    transformer = SanaTransformer2DModel(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_cross_attention_heads=2, cross_attention_head_dim=8,
+        cross_attention_dim=16, caption_channels=12, mlp_ratio=2.0, sample_size=4, patch_size=1,
+    )
+    vae = AutoencoderDC(
+        in_channels=3, latent_channels=4, attention_head_dim=8,
+        encoder_block_types="ResBlock", decoder_block_types="ResBlock",
+        encoder_block_out_channels=(8, 8), decoder_block_out_channels=(8, 8),
+        encoder_layers_per_block=(1, 1), decoder_layers_per_block=(1, 1),
+        encoder_qkv_multiscales=((), ()), decoder_qkv_multiscales=((), ()),
+    )
+    pipe = SanaPipeline(
+        transformer=(transformer, transformer.init_params(key)),
+        vae=(vae, vae.init_params(key)),
+        scheduler=FlowMatchEulerDiscreteScheduler(shift=3.0),
+        tokenizer=DummyTokenizer(),
+        text_encoder=(gemma, gemma.init_params(key)),
+    )
+    out = pipe(
+        prompt="a native gemma prompt", height=8, width=8, num_inference_steps=2,
+        guidance_scale=4.0, key=jax.random.PRNGKey(0), output_type="np",
+    )
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
