@@ -187,7 +187,16 @@ def dispatch_attention_fn(
     sequence_degree > 1 is active → automatic (pallas_flash on TPU for long
     seqs, else native).
     """
-    name = backend or _active_backend
+    from ..utils.constants import DIFFUSERS_TPU_ATTN_BACKEND, DIFFUSERS_TPU_ATTN_CHECKS
+
+    if DIFFUSERS_TPU_ATTN_CHECKS:
+        if not (query.ndim == key.ndim == value.ndim == 4):
+            raise ValueError(
+                f"attention expects [B,S,H,D] tensors, got q{query.shape} k{key.shape} v{value.shape}"
+            )
+        if query.shape[-1] != key.shape[-1] or key.shape[:2] != value.shape[:2]:
+            raise ValueError(f"inconsistent attention shapes q{query.shape} k{key.shape} v{value.shape}")
+    name = backend or _active_backend or DIFFUSERS_TPU_ATTN_BACKEND
     if name is None:
         name = _auto_backend(query, key, attn_mask, is_causal)
     return _BACKENDS[name](query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)

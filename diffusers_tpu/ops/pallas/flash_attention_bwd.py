@@ -25,14 +25,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# LSE/delta are stored lane-replicated as [B, H, S, LANES] — Mosaic requires
+# the last two block dims to tile (8, 128), so a [B, H, S] output with block
+# (1, 1, block_q) is not lowerable (same layout trick as the official kernel,
+# jax/experimental/pallas/ops/tpu/flash_attention.py MIN_BLOCK_SIZE).
+LANES = 128
 
 
 # ---------------------------------------------------------------------------
-# forward (with LSE output + optional additive mask)
+# forward (with optional LSE output + optional additive mask)
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, block_k, is_causal, has_mask):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *maybe_lse_ref, scale, block_k, is_causal, has_mask):
     q = q_ref[0, 0].astype(jnp.float32) * scale  # [BQ, D]
     bq = q.shape[0]
     seq_k = k_ref.shape[2]
@@ -70,11 +75,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, block_k
         m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
 
     o_ref[0, 0] = (acc / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l)).astype(jnp.float32)
+    if maybe_lse_ref:
+        lse = (m + jnp.log(l)).astype(jnp.float32)
+        maybe_lse_ref[0][0, 0] = jnp.broadcast_to(lse[:, None], (bq, LANES))
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "is_causal", "block_q", "block_k", "interpret"))
-def _flash_fwd_bhsd(q, k, v, mask, scale, is_causal, block_q, block_k, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "is_causal", "block_q", "block_k", "interpret", "need_lse")
+)
+def _flash_fwd_bhsd(q, k, v, mask, scale, is_causal, block_q, block_k, interpret, need_lse=True):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     grid = (b, h, sq // block_q)
@@ -92,27 +101,30 @@ def _flash_fwd_bhsd(q, k, v, mask, scale, is_causal, block_q, block_k, interpret
         in_specs.append(pl.BlockSpec((1, 1, block_q, sk), lambda bi, hi, qi: (bi, hi, qi, 0)))
         args.append(mask)
     else:
-        kernel = functools.partial(kernel)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # placeholder, unused
         args.append(jnp.zeros((1,), jnp.float32))
-    out, lse = pl.pallas_call(
+
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0))]
+    if need_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, sq, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q, LANES), lambda bi, hi, qi: (bi, hi, qi, 0)))
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
-        in_specs=[in_specs[0], in_specs[1], in_specs[2], in_specs[3]] if has_mask else in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(*args)
-    return out, lse
+    if need_lse:
+        out, lse = outs
+        return out, lse[..., 0]
+    return outs[0] if isinstance(outs, (tuple, list)) else outs, None
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +144,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
         dk, dv = carry
         q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :][:, :1]  # [BQ, 1] (lane-replicated)
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :][:, :1]
         s = jax.lax.dot_general(q * scale, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if has_mask:
             s = s + mask_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
@@ -141,10 +153,10 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
             row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0)
             col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
             s = jnp.where(row >= col, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])  # [BQ, BK]
+        p = jnp.exp(s - lse)  # [BQ, BK]
         dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = p * (dp - delta) * scale
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -164,8 +176,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
                    dq_ref, *, scale, block_k, is_causal, has_mask):
     q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]  # [BQ, 1] (lane-replicated)
+    delta = delta_ref[0, 0][:, :1]
     bq = q.shape[0]
     seq_k = k_ref.shape[2]
     qi = pl.program_id(2)
@@ -180,9 +192,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
             row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
             s = jnp.where(row >= col, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])
+        p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = p * (dp - delta) * scale
         return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     dq0 = jnp.zeros_like(q)
@@ -207,6 +219,9 @@ def _flash_bwd_bhsd(q, k, v, mask, out, lse, do, scale, is_causal, block_q, bloc
     b, h, sq, d = q.shape
     sk = k.shape[2]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B, H, Sq]
+    # lane-replicate LSE/delta so their blocks tile the (8, 128) Mosaic layout
+    lse = jnp.broadcast_to(lse[..., None], (b, h, sq, LANES))
+    delta = jnp.broadcast_to(delta[..., None], (b, h, sq, LANES))
     has_mask = mask is not None
 
     # dK/dV: grid over kv blocks
@@ -223,8 +238,8 @@ def _flash_bwd_bhsd(q, k, v, mask, out, lse, do, scale, is_causal, block_q, bloc
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, hi, 0)),
-            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, sq, LANES), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, sq, LANES), lambda bi, hi, ki: (bi, hi, 0, 0)),
             mask_spec_kv,
         ],
         out_specs=(
@@ -248,8 +263,8 @@ def _flash_bwd_bhsd(q, k, v, mask, out, lse, do, scale, is_causal, block_q, bloc
             pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
             mask_spec_q,
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -297,16 +312,18 @@ def _supported(query, key, block_q, block_k):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flash_attention_vjp(query, key, value, attn_mask, scale, is_causal, block_q, block_k, interpret):
-    out, _ = _flash_attention_fwd_impl(query, key, value, attn_mask, scale, is_causal, block_q, block_k, interpret)
+    out, _ = _flash_attention_fwd_impl(
+        query, key, value, attn_mask, scale, is_causal, block_q, block_k, interpret, need_lse=False
+    )
     return out
 
 
-def _flash_attention_fwd_impl(query, key, value, attn_mask, scale, is_causal, block_q, block_k, interpret):
+def _flash_attention_fwd_impl(query, key, value, attn_mask, scale, is_causal, block_q, block_k, interpret, need_lse=True):
     b, s, h, d = query.shape
     q, k, v, mask, pad = _prep(query, key, value, attn_mask, block_q, block_k)
     bq, bk = min(block_q, s), min(block_k, key.shape[1])
     out, lse = _flash_fwd_bhsd(q, k, v, mask, scale=scale, is_causal=is_causal,
-                               block_q=bq, block_k=bk, interpret=interpret)
+                               block_q=bq, block_k=bk, interpret=interpret, need_lse=need_lse)
     out_bshd = jnp.transpose(out, (0, 2, 1, 3))
     if pad:
         out_bshd = out_bshd[..., :d]

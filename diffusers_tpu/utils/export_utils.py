@@ -61,6 +61,76 @@ def export_to_video(video_frames, output_video_path: Optional[str] = None, fps: 
     raise ImportError("export_to_video requires imageio or opencv")
 
 
+def export_to_audio(audio, output_audio_path: Optional[str] = None, sample_rate: int = 44100) -> str:
+    """[C, T] or [T] float waveform in [-1, 1] → 16-bit PCM WAV (stdlib wave;
+    reference counterpart muxes via torchaudio/scipy, `utils/export_utils.py`)."""
+    import wave
+
+    if output_audio_path is None:
+        output_audio_path = tempfile.NamedTemporaryFile(suffix=".wav", delete=False).name
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+    with wave.open(output_audio_path, "wb") as w:
+        w.setnchannels(pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.T.tobytes())  # interleave channels
+    return output_audio_path
+
+
+def export_to_video_with_audio(
+    video_frames,
+    audio,
+    output_video_path: Optional[str] = None,
+    fps: int = 10,
+    audio_sample_rate: int = 44100,
+) -> str:
+    """Mux a waveform onto a frame sequence (requires av; falls back to
+    writing video + sidecar .wav when av is absent)."""
+    if output_video_path is None:
+        output_video_path = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False).name
+    if not is_av_available():
+        path = export_to_video(video_frames, output_video_path, fps=fps)
+        wav = export_to_audio(audio, os.path.splitext(path)[0] + ".wav", audio_sample_rate)
+        logger.warning("av not available: wrote video %s with sidecar audio %s", path, wav)
+        return path
+
+    import av
+
+    if isinstance(video_frames, np.ndarray):
+        if video_frames.dtype != np.uint8:
+            video_frames = (np.clip(video_frames, 0, 1) * 255).astype(np.uint8)
+        frames = [f for f in video_frames]
+    else:
+        frames = [np.asarray(f.convert("RGB")) for f in video_frames]
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+
+    with av.open(output_video_path, "w") as container:
+        vstream = container.add_stream("h264", rate=fps)
+        vstream.height, vstream.width = frames[0].shape[:2]
+        vstream.pix_fmt = "yuv420p"
+        astream = container.add_stream("aac", rate=audio_sample_rate)
+        for frame in frames:
+            for packet in vstream.encode(av.VideoFrame.from_ndarray(frame, format="rgb24")):
+                container.mux(packet)
+        aframe = av.AudioFrame.from_ndarray(
+            (np.clip(audio, -1, 1) * 32767).astype("<i2"), format="s16p",
+            layout="stereo" if audio.shape[0] == 2 else "mono",
+        )
+        aframe.sample_rate = audio_sample_rate
+        for packet in astream.encode(aframe):
+            container.mux(packet)
+        for packet in vstream.encode():
+            container.mux(packet)
+        for packet in astream.encode():
+            container.mux(packet)
+    return output_video_path
+
+
 def export_to_obj(mesh, output_obj_path: Optional[str] = None) -> str:
     if output_obj_path is None:
         output_obj_path = tempfile.NamedTemporaryFile(suffix=".obj", delete=False).name
