@@ -231,20 +231,44 @@ class ModelMixin(ConfigMixin):
         subfolder: Optional[str] = None,
         dtype: Union[str, jnp.dtype, None] = None,
         variant: Optional[str] = None,
+        quantization_config=None,
+        gguf_file: Optional[str] = None,
         **kwargs,
     ):
-        """Load config + weights. Returns ``(model, params)``."""
+        """Load config + weights. Returns ``(model, params)``.
+
+        `quantization_config` triggers the load-time quantizer lifecycle
+        (reference `quantizers/base.py:34` hooks → here one functional
+        transform after the state dict is converted). `gguf_file` loads the
+        weights from a GGUF checkpoint instead of safetensors (reference
+        `model_loading_utils.py:644`), dequantized then (optionally)
+        re-quantized into the TPU int8 path by `quantization_config`.
+        """
         from ..utils.hub_utils import snapshot_download_repo
 
         root = str(pretrained_model_name_or_path)
-        if not os.path.isdir(root):
+        if not os.path.isdir(root) and gguf_file is None:
             root = snapshot_download_repo(root, **kwargs)
         model_path = os.path.join(root, subfolder) if subfolder else root
 
         config = cls.load_config(model_path)
         model, unused = cls.from_config(config, return_unused_kwargs=True, **kwargs)
-        state_dict = load_safetensors_state_dict(model_path, variant=variant)
+        if gguf_file is not None:
+            from ..quantizers.gguf import load_gguf_checkpoint
+
+            state_dict = load_gguf_checkpoint(
+                gguf_file if os.path.isabs(gguf_file) else os.path.join(model_path, gguf_file)
+            )
+        else:
+            state_dict = load_safetensors_state_dict(model_path, variant=variant)
         params = convert_torch_state_dict(model, state_dict, dtype=resolve_dtype(dtype, default=None))
+        if quantization_config is not None:
+            from ..quantizers.auto import resolve_quantization_config
+            from ..quantizers.quantize import quantize_params
+
+            qc = resolve_quantization_config(quantization_config)
+            if qc is not None:
+                params = quantize_params(params, qc)
         return model, params
 
     def save_pretrained(self, save_directory: Union[str, os.PathLike], params: Params, **kwargs):

@@ -228,7 +228,7 @@ class CLIPTextModel(Module, ModelMixin, ConfigMixin):
 
     # transformers checkpoints use model.safetensors + a transformers config.json
     @classmethod
-    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, **kwargs):
+    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, quantization_config=None, **kwargs):
         from ...utils.hub_utils import snapshot_download_repo
         from ...utils.jax_utils import resolve_dtype
         from safetensors import safe_open
@@ -255,6 +255,9 @@ class CLIPTextModel(Module, ModelMixin, ConfigMixin):
         # transformers sometimes stores position_ids buffers — drop them
         state = {k: v for k, v in state.items() if not k.endswith("position_ids")}
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
+        from ...quantizers.quantize import maybe_quantize
+
+        params = maybe_quantize(params, quantization_config)
         return model, params
 
 
@@ -413,7 +416,7 @@ class CLIPVisionModel(Module, ModelMixin, ConfigMixin):
         )
 
     @classmethod
-    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, **kwargs):
+    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, quantization_config=None, **kwargs):
         from ...utils.hub_utils import snapshot_download_repo
         from ...utils.jax_utils import resolve_dtype
         from safetensors import safe_open
@@ -439,6 +442,9 @@ class CLIPVisionModel(Module, ModelMixin, ConfigMixin):
                     state[k] = f.get_tensor(k)
         state = {k: v for k, v in state.items() if not k.endswith("position_ids")}
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
+        from ...quantizers.quantize import maybe_quantize
+
+        params = maybe_quantize(params, quantization_config)
         return model, params
 
 

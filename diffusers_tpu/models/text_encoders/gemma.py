@@ -196,7 +196,7 @@ class Gemma2Model(Module, ModelMixin, ConfigMixin):
         return GemmaEncoderOutput(last_hidden_state=x)
 
     @classmethod
-    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, **kwargs):
+    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, quantization_config=None, **kwargs):
         from safetensors import safe_open
 
         from ...utils.hub_utils import snapshot_download_repo
@@ -223,6 +223,9 @@ class Gemma2Model(Module, ModelMixin, ConfigMixin):
                     state[k.removeprefix("model.")] = f.get_tensor(k)
         state.pop("lm_head.weight", None)
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
+        from ...quantizers.quantize import maybe_quantize
+
+        params = maybe_quantize(params, quantization_config)
         return model, params
 
     def save_pretrained(self, save_directory, params, **kwargs):

@@ -211,7 +211,7 @@ class T5EncoderModel(Module, ModelMixin, ConfigMixin):
         return T5EncoderOutput(last_hidden_state=last_hidden)
 
     @classmethod
-    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, **kwargs):
+    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, quantization_config=None, **kwargs):
         from ...utils.hub_utils import snapshot_download_repo
         from ...utils.jax_utils import resolve_dtype
         from safetensors import safe_open
@@ -244,6 +244,9 @@ class T5EncoderModel(Module, ModelMixin, ConfigMixin):
         # some checkpoints alias shared as encoder.embed_tokens
         state.pop("encoder.embed_tokens.weight", None)
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
+        from ...quantizers.quantize import maybe_quantize
+
+        params = maybe_quantize(params, quantization_config)
         return model, params
 
     def save_pretrained(self, save_directory, params, **kwargs):

@@ -149,8 +149,13 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         pretrained_model_name_or_path: Union[str, os.PathLike],
         dtype=None,
         variant: Optional[str] = None,
+        quantization_config=None,
         **kwargs,
     ):
+        """`quantization_config` may be a `PipelineQuantizationConfig` (maps
+        component name → quant config, reference `pipe_quant_config.py:34`)
+        or a single model-level config applied to every weight-bearing
+        component."""
         from ..utils.hub_utils import snapshot_download_repo
 
         expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
@@ -159,7 +164,11 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         passed_components = {k: kwargs.pop(k) for k in list(kwargs) if k in expected}
 
         root = str(pretrained_model_name_or_path)
-        if not os.path.isdir(root):
+        if root.endswith(".dduf") and os.path.isfile(root):
+            from ..utils.dduf import extract_dduf
+
+            root = extract_dduf(root)
+        elif not os.path.isdir(root):
             root = snapshot_download_repo(root, **kwargs)
 
         with open(os.path.join(root, PIPELINE_CONFIG_NAME)) as f:
@@ -181,7 +190,18 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
             if kind == "tokenizer":
                 init_kwargs[name] = component_cls.from_pretrained(component_path)
             elif hasattr(component_cls, "from_pretrained") and hasattr(component_cls, "init_params"):
-                model, params = component_cls.from_pretrained(root, subfolder=name, dtype=dtype, variant=variant)
+                component_quant = None
+                if quantization_config is not None:
+                    from ..quantizers.auto import PipelineQuantizationConfig
+
+                    if isinstance(quantization_config, PipelineQuantizationConfig):
+                        component_quant = quantization_config.config_for(name)
+                    else:
+                        component_quant = quantization_config
+                model, params = component_cls.from_pretrained(
+                    root, subfolder=name, dtype=dtype, variant=variant,
+                    quantization_config=component_quant,
+                )
                 init_kwargs[name] = (model, params)
             else:  # config-only components (schedulers, guiders)
                 init_kwargs[name] = component_cls.from_pretrained(component_path)

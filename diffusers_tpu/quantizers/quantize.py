@@ -87,3 +87,14 @@ def dequantize_params(params):
             return new
         return {k: dequantize_params(v) if isinstance(v, dict) else v for k, v in params.items()}
     return params
+
+
+def maybe_quantize(params, quantization_config):
+    """Apply the load-time quantizer lifecycle if a config is given (accepts
+    config objects, dicts, or method-name strings)."""
+    if quantization_config is None:
+        return params
+    from .auto import resolve_quantization_config
+
+    qc = resolve_quantization_config(quantization_config)
+    return quantize_params(params, qc) if qc is not None else params
