@@ -256,6 +256,38 @@ class FluxPipeline(DiffusionPipeline):
             (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, pab0), (timesteps, pab_mask))
             return latents
 
+        from ...hooks.mag_cache import MagCacheConfig, flux_forward_with_magcache, init_mag_cache_state
+
+        if isinstance(cache_cfg, MagCacheConfig):
+            # skip schedule is step-index-only → host-precomputed mask
+            # (arrives via pab_mask slot from __call__)
+            batch = latents.shape[0]
+            img_seq, txt_seq = latents.shape[1], prompt_embeds.shape[1]
+            inner = transformer.inner_dim
+            mc0 = init_mag_cache_state((batch, img_seq, inner), (batch, txt_seq, inner), latents.dtype)
+
+            def step_fn(carry, xs):
+                latents, sstate, mc_state = carry
+                t, compute = xs
+                timestep = jnp.broadcast_to(t, (batch,)) / 1000.0
+                noise_pred, mc_state = flux_forward_with_magcache(
+                    transformer,
+                    transformer_params,
+                    mc_state,
+                    compute,
+                    latents,
+                    prompt_embeds,
+                    pooled_prompt_embeds,
+                    timestep,
+                    (rope_cos, rope_sin),
+                    guidance=guidance,
+                )
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, mc_state), None
+
+            (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, mc0), (timesteps, pab_mask))
+            return latents
+
         raise ValueError(f"FluxPipeline does not support cache config {type(cache_cfg).__name__}")
 
     # ------------------------------------------------------------- __call__
@@ -336,6 +368,16 @@ class FluxPipeline(DiffusionPipeline):
                     cache_cfg.spatial_attention_timestep_skip_range,
                 )
             )
+        elif cache_cfg is not None and type(cache_cfg).__name__ == "MagCacheConfig":
+            from ...hooks.mag_cache import mag_cache_compute_mask
+
+            import dataclasses
+
+            if cache_cfg.num_inference_steps != int(state.timesteps.shape[0]):
+                cache_cfg = dataclasses.replace(
+                    cache_cfg, num_inference_steps=int(state.timesteps.shape[0])
+                )
+            pab_mask = jnp.asarray(mag_cache_compute_mask(cache_cfg))
 
         denoise = self._jit("denoise", self._denoise)
         latents = denoise(

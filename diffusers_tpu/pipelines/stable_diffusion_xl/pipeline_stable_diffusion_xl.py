@@ -110,7 +110,7 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
 
     # ------------------------------------------------------------- denoise
     def _denoise(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents,
-                 guidance_scale, num_inference_steps, do_cfg, image_embeds=None):
+                 guidance_scale, num_inference_steps, do_cfg, image_embeds=None, fc_sched=None):
         unet = self.unet[0]
         scheduler = self.scheduler
         state = scheduler.set_timesteps(num_inference_steps)
@@ -125,7 +125,7 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
             if isinstance(cache_cfg, FasterCacheConfig):
                 return self._denoise_faster_cache(
                     unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents,
-                    guidance_scale, state, cache_cfg,
+                    guidance_scale, state, cache_cfg, fc_sched,
                 )
 
         def step_fn(carry, t):
@@ -152,20 +152,20 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         return latents
 
     def _denoise_faster_cache(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids,
-                              latents, guidance_scale, state, cache_cfg):
+                              latents, guidance_scale, state, cache_cfg, fc_sched):
         """CFG-cached denoise (FasterCache, arXiv:2410.19355): the uncond
         branch runs only on schedule-selected steps; in between it is
         approximated from the cond output + cached frequency deltas
-        (hooks/faster_cache.py; reference hooks/faster_cache.py:261-361)."""
-        from ...hooks.faster_cache import (
-            faster_cache_apply,
-            faster_cache_schedules,
-            init_faster_cache_state,
-        )
+        (hooks/faster_cache.py; reference hooks/faster_cache.py:261-361).
+        `fc_sched` = (skip, lf_w, hf_w) per-step arrays, host-precomputed in
+        __call__ (timesteps are tracers here under omnistaging)."""
+        from ...hooks.faster_cache import faster_cache_apply, init_faster_cache_state
 
         unet = self.unet[0]
         scheduler = self.scheduler
-        skip_np, lf_np, hf_np = faster_cache_schedules(np.asarray(state.timesteps), cache_cfg)
+        if fc_sched is None:
+            raise ValueError("FasterCache enabled but no host-precomputed schedule was passed")
+        skip_np, lf_np, hf_np = fc_sched
         b = latents.shape[0]
         cond_embeds = prompt_embeds[b:]
         cond_text = add_text_embeds[b:]
@@ -263,12 +263,25 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         if image_embeds is None and ip_adapter_image is not None:
             image_embeds = self.prepare_ip_adapter_image_embeds(ip_adapter_image, batch_size, do_cfg)
 
+        # FasterCache schedules depend only on the timestep ladder — compute
+        # host-side (inside jit the timesteps are tracers under omnistaging)
+        fc_sched = None
+        cache_cfg = getattr(self, "_cache_config", None)
+        if cache_cfg is not None and do_cfg and image_embeds is None:
+            from ...hooks.faster_cache import FasterCacheConfig, faster_cache_schedules
+
+            if isinstance(cache_cfg, FasterCacheConfig):
+                host_state = self.scheduler.set_timesteps(num_inference_steps)
+                skip_np, lf_np, hf_np = faster_cache_schedules(np.asarray(host_state.timesteps), cache_cfg)
+                fc_sched = (jnp.asarray(skip_np), jnp.asarray(lf_np), jnp.asarray(hf_np))
+
         denoise = self._jit(
             "denoise",
             partial(self._denoise, guidance_scale=guidance_scale, num_inference_steps=num_inference_steps, do_cfg=do_cfg),
             static=(guidance_scale, num_inference_steps, do_cfg),
         )
-        latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents, image_embeds=image_embeds)
+        latents = denoise(unet_params, prompt_embeds, add_text_embeds, add_time_ids, latents,
+                          image_embeds=image_embeds, fc_sched=fc_sched)
 
         if output_type == "latent":
             image = latents

@@ -134,3 +134,96 @@ def test_flux_pab_cache_close_to_uncached():
     rel = np.abs(out - ref).mean() / np.abs(ref).mean()
     assert rel < 0.35, f"PAB output drifted too far: rel={rel}"
     assert not np.allclose(out, ref)
+
+
+def test_mag_cache_mask_semantics():
+    """Mask must match the reference accumulator behavior: no skips before
+    retention_step, ≤ max_skip_steps consecutive skips, first step computed."""
+    from diffusers_tpu.hooks import FLUX_MAG_RATIOS, MagCacheConfig, mag_cache_compute_mask
+
+    cfg = MagCacheConfig(
+        threshold=0.12, max_skip_steps=2, retention_ratio=0.2,
+        num_inference_steps=28, mag_ratios=tuple(FLUX_MAG_RATIOS),
+    )
+    mask = mag_cache_compute_mask(cfg)
+    assert mask.shape == (28,)
+    retention = int(0.2 * 28 + 0.5)
+    assert mask[:retention].all(), "no skipping inside the retention window"
+    assert not mask.all(), "threshold 0.12 must produce some skips"
+    # bounded consecutive skips
+    run = 0
+    for m in mask:
+        run = 0 if m else run + 1
+        assert run <= 2
+    # calibrate mode never skips
+    assert mag_cache_compute_mask(MagCacheConfig(calibrate=True, num_inference_steps=8)).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mag_ratios"):
+        MagCacheConfig()
+
+
+def test_flux_mag_cache_close_to_uncached():
+    from diffusers_tpu.hooks import MagCacheConfig
+    from tests.test_pipeline_flux import get_dummy_pipeline as get_flux
+
+    pipe = get_flux()
+    kwargs = dict(
+        prompt="a crystal fox",
+        height=32,
+        width=32,
+        num_inference_steps=8,
+        guidance_scale=0.0,
+        output_type="latent",
+        key=jax.random.PRNGKey(3),
+    )
+    ref = np.asarray(pipe(**kwargs).images)
+    # flat ratios + generous threshold → alternating skips after retention
+    pipe.enable_cache(MagCacheConfig(
+        threshold=0.5, max_skip_steps=1, retention_ratio=0.25,
+        num_inference_steps=8, mag_ratios=tuple([1.0] * 8),
+    ))
+    out = np.asarray(pipe(**kwargs).images)
+    pipe.disable_cache()
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.6, f"MagCache output drifted too far: rel={rel}"
+    assert not np.allclose(out, ref), "cache must actually skip some steps"
+
+
+def test_layerwise_casting_policy():
+    import jax.numpy as jnp
+
+    from diffusers_tpu.hooks import apply_layerwise_casting, remove_layerwise_casting
+    from diffusers_tpu.models import UNet2DModel
+
+    model = UNet2DModel(
+        sample_size=8, in_channels=3, out_channels=3, block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1, attention_head_dim=4, norm_num_groups=8,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    cast = apply_layerwise_casting(params, "float8_e4m3fn")
+
+    fp8, skipped_norm = [], []
+    def walk(t, path=""):
+        for k, v in t.items():
+            p = f"{path}.{k}" if path else k
+            if isinstance(v, dict):
+                walk(v, p)
+            elif v.dtype == jnp.float8_e4m3fn:
+                fp8.append(p)
+            elif "norm" in p and k == "kernel":
+                skipped_norm.append(p)
+    walk(cast)
+    assert fp8, "some kernels must be cast to fp8"
+    assert all("norm" not in p for p in fp8), "norm layers must be skipped"
+    assert all(p.endswith("kernel") or p.endswith("weight") for p in fp8)
+
+    # forward still runs (kernel upcast happens inside Linear/Conv)
+    out = model(cast, jnp.ones((1, 3, 8, 8), jnp.bfloat16), jnp.asarray(1)).sample
+    assert out.shape == (1, 3, 8, 8)
+
+    restored = remove_layerwise_casting(cast, jnp.float32)
+    leaves = jax.tree_util.tree_leaves(restored)
+    assert all(l.dtype != jnp.float8_e4m3fn for l in leaves)
