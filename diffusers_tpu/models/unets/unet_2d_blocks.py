@@ -274,6 +274,13 @@ class UpBlock2D(Module):
         for i, resnet in enumerate(self.resnets):
             res_hidden_states = res_hidden_states_tuple[-1]
             res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            freeu = getattr(self, "freeu", None)
+            if freeu is not None and getattr(self, "resolution_idx", None) in (0, 1):
+                from ...utils.freeu_utils import apply_freeu
+
+                hidden_states, res_hidden_states = apply_freeu(
+                    self.resolution_idx, hidden_states, res_hidden_states, freeu
+                )
             hidden_states = jnp.concatenate([hidden_states, res_hidden_states], axis=-1)
             hidden_states = resnet(params["resnets"][i], hidden_states, temb)
         if self.add_upsample:

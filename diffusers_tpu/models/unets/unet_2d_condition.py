@@ -393,3 +393,18 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         if not return_dict:
             return (sample,)
         return UNet2DConditionOutput(sample=sample)
+
+    # ------------------------------------------------------------- FreeU
+    def enable_freeu(self, s1: float, s2: float, b1: float, b2: float):
+        """Enable FreeU (arXiv:2309.11497) — trace-time flags on the up
+        blocks (reference `StableDiffusionMixin.enable_freeu`,
+        `pipelines/pipeline_utils.py:2288`). Pipelines must clear their jit
+        cache after toggling (DiffusionPipeline.enable_freeu does)."""
+        freeu = {"s1": s1, "s2": s2, "b1": b1, "b2": b2}
+        for i, block in enumerate(self.up_blocks):
+            block.freeu = freeu
+            block.resolution_idx = i
+
+    def disable_freeu(self):
+        for block in self.up_blocks:
+            block.freeu = None

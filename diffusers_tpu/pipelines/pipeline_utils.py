@@ -318,6 +318,23 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         self._parallel_env = None
         self.clear_jit_cache()
 
+    # ---------------------------------------------------------------- FreeU
+    def enable_freeu(self, s1: float, s2: float, b1: float, b2: float):
+        """FreeU on the UNet's up blocks (reference StableDiffusionMixin.
+        enable_freeu, pipeline_utils.py:2288). SD1.5 suggested: s1=0.9,
+        s2=0.2, b1=1.2, b2=1.4; SDXL: s1=0.6, s2=0.4, b1=1.1, b2=1.2."""
+        unet = getattr(self, "unet", None)
+        if unet is None or not hasattr(unet[0], "enable_freeu"):
+            raise AttributeError(f"{self.__class__.__name__} has no FreeU-capable unet")
+        unet[0].enable_freeu(s1, s2, b1, b2)
+        self.clear_jit_cache()
+
+    def disable_freeu(self):
+        unet = getattr(self, "unet", None)
+        if unet is not None and hasattr(unet[0], "disable_freeu"):
+            unet[0].disable_freeu()
+        self.clear_jit_cache()
+
     # ---------------------------------------------------------------- caches
     def enable_cache(self, config):
         """Enable a timestep cache for the denoise loop (CacheMixin analogue,

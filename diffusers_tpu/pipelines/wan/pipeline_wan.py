@@ -19,6 +19,7 @@ import numpy as np
 
 from ...utils import BaseOutput, logging
 from ...utils.jax_utils import randn_tensor
+from ..free_init_utils import FreeInitMixin
 from ..pipeline_utils import DiffusionPipeline
 
 logger = logging.get_logger(__name__)
@@ -29,7 +30,7 @@ class WanPipelineOutput(BaseOutput):
     frames: Union[List, np.ndarray]
 
 
-class WanPipeline(DiffusionPipeline):
+class WanPipeline(DiffusionPipeline, FreeInitMixin):
     def __init__(self, tokenizer, text_encoder, transformer, vae, scheduler):
         super().__init__()
         self.register_modules(
@@ -123,16 +124,22 @@ class WanPipeline(DiffusionPipeline):
 
         rope_cos, rope_sin = transformer.rope(num_latent_frames, lh, lw)
 
-        if hasattr(self.scheduler, "set_timesteps"):
-            try:
-                state = self.scheduler.set_timesteps(num_inference_steps, sample_shape=shape)
-            except TypeError:
-                state = self.scheduler.set_timesteps(num_inference_steps)
-
         denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg),
                             static=(guidance_scale, do_cfg))
-        latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
-                          state.timesteps, state)
+
+        # FreeInit (arXiv:2312.07537): iterative noise reinitialization —
+        # single pass when disabled (pipelines/free_init_utils.py)
+        initial_noise = latents
+        for it, steps in self._free_init_iterations(num_inference_steps):
+            if it > 0:
+                key, reinit_key = jax.random.split(key)
+                latents = self._free_init_reinit_latents(latents, initial_noise, reinit_key)
+            try:
+                state = self.scheduler.set_timesteps(steps, sample_shape=shape)
+            except TypeError:
+                state = self.scheduler.set_timesteps(steps)
+            latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
+                              state.timesteps, state)
 
         if output_type == "latent":
             video = latents
