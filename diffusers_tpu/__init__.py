@@ -83,6 +83,12 @@ from .models.transformers.transformer_wan import WanTransformer3DModel
 from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_img2img import StableDiffusionImg2ImgPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_inpaint import StableDiffusionInpaintPipeline
+from .pipelines.stable_diffusion.pipeline_stable_diffusion_instruct_pix2pix import (
+    StableDiffusionInstructPix2PixPipeline,
+)
+from .pipelines.stable_diffusion.pipeline_stable_diffusion_upscale import StableDiffusionUpscalePipeline
+from .models.adapter import MultiAdapter, T2IAdapter
+from .pipelines.t2i_adapter import StableDiffusionAdapterPipeline
 from .pipelines.stable_diffusion_3.pipeline_stable_diffusion_3 import StableDiffusion3Pipeline
 from .pipelines.wan.pipeline_wan import WanPipeline
 from .pipelines.ltx.pipeline_ltx import LTXPipeline

@@ -252,6 +252,11 @@ class VaeImageProcessor(ConfigMixin):
             image = np.asarray(image, dtype=np.float32)
             if image.ndim == 3:
                 image = image[None]
+            # numpy arrays follow the reference convention: channels-last
+            # (image_processor.py:82 preprocess) — transpose to NCHW unless
+            # the input is already channels-first
+            if image.shape[-1] in (1, 3, 4) and image.shape[1] not in (1, 3, 4):
+                image = image.transpose(0, 3, 1, 2)
         if self.config.do_normalize and image.min() >= 0:
             image = self.normalize(image)
         return image.astype(np.float32)

@@ -273,6 +273,7 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         encoder_attention_mask: Optional[jax.Array] = None,
         down_block_additional_residuals: Optional[Tuple[jax.Array, ...]] = None,
         mid_block_additional_residual: Optional[jax.Array] = None,
+        down_intrablock_additional_residuals: Optional[Tuple[jax.Array, ...]] = None,
         return_dict: bool = True,
     ) -> Union[UNet2DConditionOutput, tuple]:
         if self.config.center_input_sample:
@@ -329,10 +330,16 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         sample = jnp.transpose(sample, (0, 2, 3, 1))
         sample = self.conv_in(params["conv_in"], sample)
 
-        # 3. down
+        # 3. down — T2I-Adapter intrablock residuals arrive NCHW (reference
+        # unet_2d_condition.py:1214 is_adapter branches), consumed one per block
+        intrablock = None
+        if down_intrablock_additional_residuals is not None:
+            intrablock = [jnp.transpose(r, (0, 2, 3, 1)) for r in down_intrablock_additional_residuals]
+
         down_block_res_samples = (sample,)
         for i, block in enumerate(self.down_blocks):
             if getattr(block, "has_cross_attention", False):
+                extra = intrablock.pop(0) if intrablock else None
                 sample, res_samples = block(
                     params["down_blocks"][i],
                     sample,
@@ -340,9 +347,13 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                     encoder_hidden_states=encoder_hidden_states,
                     attention_mask=attention_mask,
                     encoder_attention_mask=encoder_attention_mask,
+                    additional_residual=extra,
                 )
             else:
                 sample, res_samples = block(params["down_blocks"][i], sample, temb=emb)
+                if intrablock and sample.shape == intrablock[0].shape:
+                    sample = sample + intrablock.pop(0)
+                    res_samples = res_samples[:-1] + (sample,)
             down_block_res_samples += res_samples
 
         # 3.5 ControlNet residuals (public contract is NCHW; internals NHWC)
@@ -352,7 +363,10 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                 for r, cr in zip(down_block_res_samples, down_block_additional_residuals)
             )
 
-        # 4. mid
+        # 4. mid — a leftover adapter feature at mid resolution applies here
+        # (reference unet_2d_condition.py:1262)
+        if intrablock and self.mid_block is not None and sample.shape == intrablock[0].shape:
+            sample = sample + intrablock.pop(0)
         if self.mid_block is not None:
             sample = self.mid_block(
                 params["mid_block"],

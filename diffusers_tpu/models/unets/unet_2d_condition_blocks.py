@@ -91,8 +91,10 @@ class CrossAttnDownBlock2D(Module):
         encoder_hidden_states: Optional[jax.Array] = None,
         attention_mask: Optional[jax.Array] = None,
         encoder_attention_mask: Optional[jax.Array] = None,
+        additional_residual: Optional[jax.Array] = None,
     ):
         output_states = ()
+        n = len(self.resnets)
         for i, (resnet, attn) in enumerate(zip(self.resnets, self.attentions)):
             hidden_states = resnet(params["resnets"][i], hidden_states, temb)
             hidden_states = attn(
@@ -102,6 +104,10 @@ class CrossAttnDownBlock2D(Module):
                 attention_mask=attention_mask,
                 encoder_attention_mask=encoder_attention_mask,
             )
+            # T2I-Adapter feature joins after the last (resnet, attn) pair
+            # (reference unet_2d_blocks.py CrossAttnDownBlock2D.forward)
+            if i == n - 1 and additional_residual is not None:
+                hidden_states = hidden_states + additional_residual
             output_states += (hidden_states,)
         if self.add_downsample:
             hidden_states = self.downsamplers[0](params["downsamplers"][0], hidden_states)

@@ -30,6 +30,7 @@ AUTO_TEXT2IMAGE_PIPELINES_MAPPING = OrderedDict(
 AUTO_IMAGE2IMAGE_PIPELINES_MAPPING = OrderedDict(
     [
         ("stable-diffusion", _SD + "pipeline_stable_diffusion_img2img.StableDiffusionImg2ImgPipeline"),
+        ("stable-diffusion-pix2pix", _SD + "pipeline_stable_diffusion_instruct_pix2pix.StableDiffusionInstructPix2PixPipeline"),
         ("stable-diffusion-xl", _SDXL + "pipeline_stable_diffusion_xl_img2img.StableDiffusionXLImg2ImgPipeline"),
     ]
 )
@@ -46,6 +47,8 @@ AUTO_INPAINT_PIPELINES_MAPPING = OrderedDict(
 _FAMILY_OF = {
     "StableDiffusionPipeline": "stable-diffusion",
     "StableDiffusionImg2ImgPipeline": "stable-diffusion",
+    "StableDiffusionInstructPix2PixPipeline": "stable-diffusion-pix2pix",
+    "StableDiffusionAdapterPipeline": "stable-diffusion",
     "StableDiffusionInpaintPipeline": "stable-diffusion",
     "StableDiffusionXLPipeline": "stable-diffusion-xl",
     "StableDiffusionXLImg2ImgPipeline": "stable-diffusion-xl",
