@@ -92,6 +92,10 @@ from .pipelines.t2i_adapter import StableDiffusionAdapterPipeline
 from .pipelines.stable_diffusion_3.pipeline_stable_diffusion_3 import StableDiffusion3Pipeline
 from .pipelines.wan.pipeline_wan import WanPipeline
 from .pipelines.ltx.pipeline_ltx import LTXPipeline
+from .pipelines.cogvideo import CogVideoXPipeline
+from .models.transformers.cogvideox_transformer_3d import CogVideoXTransformer3DModel
+from .models.autoencoders.autoencoder_kl_cogvideox import AutoencoderKLCogVideoX
+from .schedulers import CogVideoXDDIMScheduler
 from .quantizers import Fp8WeightOnlyConfig, Int8DynamicActConfig, Int8WeightOnlyConfig, quantize_params
 from .schedulers import (
     DDIMInverseScheduler,

@@ -348,3 +348,75 @@ class PatchEmbed(Module):
         else:
             pos = self.pos_embed_table
         return (x + jnp.asarray(pos, dtype=x.dtype)).astype(x.dtype)
+
+
+def get_3d_sincos_pos_embed_np(
+    embed_dim: int,
+    spatial_size,
+    temporal_size: int,
+    spatial_interpolation_scale: float = 1.0,
+    temporal_interpolation_scale: float = 1.0,
+) -> np.ndarray:
+    """3D (T, H*W) sin-cos table: 3/4 of channels spatial, 1/4 temporal
+    (reference embeddings.py `_get_3d_sincos_pos_embed_np:155`). Returns
+    [T, H*W, D]."""
+    if embed_dim % 4 != 0:
+        raise ValueError("`embed_dim` must be divisible by 4")
+    if isinstance(spatial_size, int):
+        spatial_size = (spatial_size, spatial_size)
+    dim_spatial = 3 * embed_dim // 4
+    dim_temporal = embed_dim // 4
+
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(spatial_size[1], dtype=np.float32) / spatial_interpolation_scale
+    grid_w = np.arange(spatial_size[0], dtype=np.float32) / spatial_interpolation_scale
+    grid = np.meshgrid(grid_w, grid_h)  # w first (reference convention)
+    grid = np.stack(grid, axis=0).reshape([2, 1, spatial_size[1], spatial_size[0]])
+    emb_h = _1d(dim_spatial // 2, grid[0])
+    emb_w = _1d(dim_spatial // 2, grid[1])
+    pos_spatial = np.concatenate([emb_h, emb_w], axis=1)  # [H*W, 3D/4]
+
+    grid_t = np.arange(temporal_size, dtype=np.float32) / temporal_interpolation_scale
+    pos_temporal = _1d(dim_temporal, grid_t)  # [T, D/4]
+
+    pos_spatial = np.repeat(pos_spatial[None, :, :], temporal_size, axis=0)
+    pos_temporal = np.repeat(pos_temporal[:, None, :], spatial_size[0] * spatial_size[1], axis=1)
+    return np.concatenate([pos_temporal, pos_spatial], axis=-1).astype(np.float32)
+
+
+def get_3d_rotary_pos_embed_np(
+    embed_dim: int,
+    crops_coords,
+    grid_size,
+    temporal_size: int,
+    theta: float = 10000.0,
+):
+    """3D RoPE for video tokens (reference embeddings.py
+    `get_3d_rotary_pos_embed:831`, linspace grid): per-axis 1D tables
+    (T: D/4, H: 3D/8, W: 3D/8) broadcast over the (T, H, W) grid and
+    concatenated. Returns (cos, sin) each [T*H*W, D]."""
+    start, stop = crops_coords
+    gh, gw = grid_size
+    grid_h = np.linspace(start[0], stop[0] * (gh - 1) / gh, gh, dtype=np.float32)
+    grid_w = np.linspace(start[1], stop[1] * (gw - 1) / gw, gw, dtype=np.float32)
+    grid_t = np.linspace(0, temporal_size * (temporal_size - 1) / temporal_size, temporal_size, dtype=np.float32)
+
+    dim_t = embed_dim // 4
+    dim_h = embed_dim // 8 * 3
+    dim_w = embed_dim // 8 * 3
+    t_cos, t_sin = get_1d_rotary_pos_embed_np(dim_t, grid_t, theta=theta)
+    h_cos, h_sin = get_1d_rotary_pos_embed_np(dim_h, grid_h, theta=theta)
+    w_cos, w_sin = get_1d_rotary_pos_embed_np(dim_w, grid_w, theta=theta)
+
+    def combine(ft, fh, fw):
+        ft = np.broadcast_to(ft[:, None, None, :], (temporal_size, gh, gw, dim_t))
+        fh = np.broadcast_to(fh[None, :, None, :], (temporal_size, gh, gw, dim_h))
+        fw = np.broadcast_to(fw[None, None, :, :], (temporal_size, gh, gw, dim_w))
+        return np.concatenate([ft, fh, fw], axis=-1).reshape(temporal_size * gh * gw, -1)
+
+    return combine(t_cos, h_cos, w_cos), combine(t_sin, h_sin, w_sin)

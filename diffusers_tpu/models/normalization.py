@@ -76,12 +76,13 @@ class AdaLayerNorm(Module):
     normalization.AdaLayerNorm with output_dim=2*dim, norm without affine)."""
 
     def __init__(self, embedding_dim: int, output_dim: Optional[int] = None, norm_eps: float = 1e-5,
-                 chunk_dim: int = 0):
+                 chunk_dim: int = 0, elementwise_affine: bool = False):
         super().__init__()
         output_dim = output_dim or embedding_dim * 2
         self.chunk_dim = chunk_dim
         self.linear = Linear(embedding_dim, output_dim)
-        self.norm = LayerNorm(output_dim // 2, eps=norm_eps, use_scale=False, use_bias=False)
+        self.norm = LayerNorm(output_dim // 2, eps=norm_eps,
+                              use_scale=elementwise_affine, use_bias=elementwise_affine)
 
     def __call__(self, params: Params, x: jax.Array, temb: jax.Array) -> jax.Array:
         temb = self.linear(params["linear"], jax.nn.silu(temb))
@@ -91,4 +92,4 @@ class AdaLayerNorm(Module):
             scale = scale[:, None, :]
         else:
             scale, shift = jnp.split(temb, 2, axis=0)
-        return self.norm({}, x) * (1 + scale) + shift
+        return self.norm(params.get("norm", {}), x) * (1 + scale) + shift

@@ -71,3 +71,4 @@ from .scheduling_flow_match_heun_discrete import (
 )
 from .scheduling_scm import SCMScheduler, SCMSchedulerOutput
 from .scheduling_dpmsolver_sde import DPMSolverSDEScheduler, DPMSolverSDESchedulerOutput
+from .scheduling_ddim_cogvideox import CogVideoXDDIMScheduler, CogVideoXDDIMSchedulerOutput

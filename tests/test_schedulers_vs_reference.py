@@ -701,3 +701,18 @@ def test_dpmsolver_sde_matches_numpy_oracle():
         ours = np.asarray(s_j, dtype=np.float64)
         err = np.max(np.abs(ref - ours)) / max(np.abs(ref).max(), 1e-6)
         assert err < 1e-3, (karras, err)
+
+
+def test_cogvideox_ddim_matches_reference():
+    from diffusers import CogVideoXDDIMScheduler as TorchCog
+
+    from diffusers_tpu.schedulers import CogVideoXDDIMScheduler
+
+    for cfg in (
+        dict(prediction_type="v_prediction", rescale_betas_zero_snr=True, timestep_spacing="trailing",
+             snr_shift_scale=1.0),
+        dict(prediction_type="epsilon", snr_shift_scale=3.0),
+    ):
+        ref = run_reference(TorchCog, cfg)
+        ours = run_ours(CogVideoXDDIMScheduler, cfg)
+        assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
