@@ -81,6 +81,7 @@ from .models.transformers.sana_transformer import SanaTransformer2DModel
 from .models.controlnets.controlnet import ControlNetModel
 from .models.transformers.transformer_wan import WanTransformer3DModel
 from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
+from .pipelines.controlnet.pipeline_controlnet_sd_xl import StableDiffusionXLControlNetPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_img2img import StableDiffusionImg2ImgPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_inpaint import StableDiffusionInpaintPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_instruct_pix2pix import (

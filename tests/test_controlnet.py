@@ -82,3 +82,39 @@ def test_controlnet_parity_and_unet_injection():
         ).sample
     )
     assert np.max(np.abs(mine_out - ref_out)) < 2e-4, np.max(np.abs(mine_out - ref_out))
+
+
+def test_sdxl_controlnet_pipeline_smoke():
+    import jax
+
+    from diffusers_tpu.pipelines.controlnet.pipeline_controlnet_sd_xl import (
+        StableDiffusionXLControlNetPipeline,
+    )
+    from test_pipeline_sdxl import get_dummy_pipeline
+
+    base = get_dummy_pipeline()
+    cn = ControlNetModel(
+        in_channels=4,
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        attention_head_dim=(2, 4),
+        transformer_layers_per_block=(1, 2),
+        use_linear_projection=True,
+        cross_attention_dim=32,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 6 * 8,
+        norm_num_groups=4,
+        conditioning_embedding_out_channels=(8, 16),
+    )
+    cn_params = cn.init_params(jax.random.PRNGKey(1))
+    comps = {k: v for k, v in base.components.items() if k not in ("image_encoder", "feature_extractor")}
+    pipe = StableDiffusionXLControlNetPipeline(controlnet=(cn, cn_params), **comps)
+    cond = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    # dummy VAE has scale factor 1; cond embedding downsamples 2x -> latents at 16
+    out = pipe("a bird", image=cond, height=16, width=16, num_inference_steps=2,
+               guidance_scale=5.0, controlnet_conditioning_scale=0.8,
+               key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape == (1, 16, 16, 3)
+    assert np.isfinite(out.images).all()
