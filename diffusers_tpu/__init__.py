@@ -47,6 +47,7 @@ from .pipelines.auto_pipeline import (
 )
 from .pipelines.ddpm.pipeline_ddpm import DDPMPipeline
 from .pipelines.flux.pipeline_flux import FluxPipeline
+from .pipelines.flux.pipeline_flux_controlnet import FluxControlNetPipeline
 from .pipelines.pipeline_utils import DiffusionPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion import StableDiffusionPipeline
 from .pipelines.flux.pipeline_flux_img2img import FluxImg2ImgPipeline
@@ -79,6 +80,7 @@ from .models.autoencoders.autoencoder_dc import AutoencoderDC
 from .models.autoencoders.vq_model import VQModel
 from .models.transformers.sana_transformer import SanaTransformer2DModel
 from .models.controlnets.controlnet import ControlNetModel
+from .models.controlnets.controlnet_flux import FluxControlNetModel, FluxMultiControlNetModel
 from .models.transformers.transformer_wan import WanTransformer3DModel
 from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
 from .pipelines.controlnet.pipeline_controlnet_sd_xl import StableDiffusionXLControlNetPipeline

@@ -277,6 +277,7 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
         image_rotary_emb: Optional[Tuple[jax.Array, jax.Array]] = None,
         controlnet_block_samples=None,
         controlnet_single_block_samples=None,
+        controlnet_blocks_repeat: bool = False,
         scan_blocks: bool = False,
         pab_compute: Optional[jax.Array] = None,  # bool scalar (PAB: recompute attention this step?)
         pab_cache: Optional[dict] = None,  # stacked per-block attention caches (see hooks/pyramid_attention_broadcast.py)
@@ -384,8 +385,13 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
                 image_rotary_emb,
             )
             if controlnet_block_samples is not None:
-                interval = len(self.transformer_blocks) / len(controlnet_block_samples)
-                hidden_states = hidden_states + controlnet_block_samples[int(i / interval)]
+                # ceil-interval mapping / Xlabs modulo repeat (reference
+                # transformer_flux.py:744-752)
+                if controlnet_blocks_repeat:
+                    hidden_states = hidden_states + controlnet_block_samples[i % len(controlnet_block_samples)]
+                else:
+                    interval = int(np.ceil(len(self.transformer_blocks) / len(controlnet_block_samples)))
+                    hidden_states = hidden_states + controlnet_block_samples[i // interval]
 
         for i, block in enumerate(self.single_transformer_blocks):
             encoder_hidden_states, hidden_states = block(
@@ -396,8 +402,8 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
                 image_rotary_emb,
             )
             if controlnet_single_block_samples is not None:
-                interval = len(self.single_transformer_blocks) / len(controlnet_single_block_samples)
-                hidden_states = hidden_states + controlnet_single_block_samples[int(i / interval)]
+                interval = int(np.ceil(len(self.single_transformer_blocks) / len(controlnet_single_block_samples)))
+                hidden_states = hidden_states + controlnet_single_block_samples[i // interval]
 
         hidden_states = self.norm_out(params["norm_out"], hidden_states, temb)
         output = self.proj_out(params["proj_out"], hidden_states)
