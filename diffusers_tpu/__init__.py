@@ -81,9 +81,11 @@ from .models.autoencoders.vq_model import VQModel
 from .models.transformers.sana_transformer import SanaTransformer2DModel
 from .models.controlnets.controlnet import ControlNetModel
 from .models.controlnets.controlnet_flux import FluxControlNetModel, FluxMultiControlNetModel
+from .models.controlnets.controlnet_sd3 import SD3ControlNetModel, SD3MultiControlNetModel
 from .models.transformers.transformer_wan import WanTransformer3DModel
 from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
 from .pipelines.controlnet.pipeline_controlnet_sd_xl import StableDiffusionXLControlNetPipeline
+from .pipelines.controlnet_sd3.pipeline_stable_diffusion_3_controlnet import StableDiffusion3ControlNetPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_img2img import StableDiffusionImg2ImgPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_inpaint import StableDiffusionInpaintPipeline
 from .pipelines.stable_diffusion.pipeline_stable_diffusion_instruct_pix2pix import (

@@ -265,6 +265,7 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
         encoder_hidden_states: jax.Array,  # [B, S, joint_attention_dim]
         pooled_projections: jax.Array,  # [B, pooled_projection_dim]
         timestep: jax.Array,  # [B]
+        block_controlnet_hidden_states: Optional[list] = None,
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         height, width = hidden_states.shape[-2], hidden_states.shape[-1]
@@ -280,6 +281,10 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
             )
             if new_context is not None:
                 encoder_hidden_states = new_context
+            # controlnet residual (reference transformer_sd3.py:324-326)
+            if block_controlnet_hidden_states is not None and not block.context_pre_only:
+                interval = len(self.transformer_blocks) / len(block_controlnet_hidden_states)
+                hidden_states = hidden_states + block_controlnet_hidden_states[int(i / interval)]
 
         hidden_states = self.norm_out(params["norm_out"], hidden_states, temb)
         hidden_states = self.proj_out(params["proj_out"], hidden_states)
