@@ -46,6 +46,7 @@ from .pipelines.auto_pipeline import (
     AutoPipelineForText2Image,
 )
 from .pipelines.ddpm.pipeline_ddpm import DDPMPipeline
+from .pipelines.pixart_alpha.pipeline_pixart_alpha import PixArtAlphaPipeline, PixArtSigmaPipeline
 from .pipelines.flux.pipeline_flux import FluxPipeline
 from .pipelines.flux.pipeline_flux_controlnet import FluxControlNetPipeline
 from .pipelines.pipeline_utils import DiffusionPipeline

@@ -274,6 +274,33 @@ class VaeImageProcessor(ConfigMixin):
             return jnp.asarray(image)
         raise ValueError(f"unsupported output_type {output_type}")
 
+    # ------------------------------------------------------- PixArt binning
+    @staticmethod
+    def classify_height_width_bin(height: int, width: int, ratios: dict):
+        """Closest aspect-ratio bin (reference image_processor.py:1416)."""
+        ar = float(height / width)
+        closest = min(ratios.keys(), key=lambda r: abs(float(r) - ar))
+        h, w = ratios[closest]
+        return int(h), int(w)
+
+    @staticmethod
+    def resize_and_crop_tensor(samples, new_width: int, new_height: int):
+        """Resize (cover) then center-crop NCHW images (reference
+        image_processor.py:1434)."""
+        import jax
+        import jax.numpy as jnp
+
+        orig_height, orig_width = samples.shape[2], samples.shape[3]
+        if orig_height != new_height or orig_width != new_width:
+            ratio = max(new_height / orig_height, new_width / orig_width)
+            rw, rh = int(orig_width * ratio), int(orig_height * ratio)
+            samples = jax.image.resize(
+                jnp.asarray(samples), (samples.shape[0], samples.shape[1], rh, rw), method="bilinear"
+            )
+            start_x = (rw - new_width) // 2
+            start_y = (rh - new_height) // 2
+            samples = samples[:, :, start_y : start_y + new_height, start_x : start_x + new_width]
+        return samples
 
 class InpaintProcessor(ConfigMixin):
     """Paired image+mask preprocessing and overlay-merging postprocess for
@@ -365,3 +392,4 @@ class IPAdapterMaskProcessor(VaeImageProcessor):
         if mask.shape[0] < batch_size:
             small = np.repeat(small, batch_size // mask.shape[0], axis=0)
         return np.repeat(small[:, :, None], value_embed_dim, axis=2)
+
