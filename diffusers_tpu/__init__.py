@@ -19,6 +19,7 @@ from .models.modeling_utils import ModelMixin
 from .models.text_encoders.clip import CLIPTextModel, CLIPTextModelWithProjection
 from .models.text_encoders.t5 import T5EncoderModel
 from .models.transformers.transformer_flux import FluxTransformer2DModel
+from .models.transformers.dit_transformer_2d import DiTTransformer2DModel
 from .models.transformers.transformer_sd3 import SD3Transformer2DModel
 from .models.unets.unet_2d import UNet2DModel
 from .models.unets.unet_2d_condition import UNet2DConditionModel
@@ -47,6 +48,7 @@ from .pipelines.auto_pipeline import (
 )
 from .pipelines.ddpm.pipeline_ddpm import DDPMPipeline
 from .pipelines.pixart_alpha.pipeline_pixart_alpha import PixArtAlphaPipeline, PixArtSigmaPipeline
+from .pipelines.dit.pipeline_dit import DiTPipeline
 from .pipelines.flux.pipeline_flux import FluxPipeline
 from .pipelines.flux.pipeline_flux_controlnet import FluxControlNetPipeline
 from .pipelines.pipeline_utils import DiffusionPipeline

@@ -116,8 +116,39 @@ class GaussianFourierProjection(Module):
         return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
 
 
-class LabelEmbedding(Embedding):
-    pass
+class LabelEmbedding(Module):
+    """Class-label table with an optional trailing null row for CFG dropout
+    (reference embeddings.py LabelEmbedding: `num_classes + use_cfg_embedding`
+    rows; label == num_classes selects the null embedding)."""
+
+    def __init__(self, num_classes: int, hidden_size: int, dropout_prob: float = 0.0):
+        super().__init__()
+        use_cfg_embedding = 1 if dropout_prob > 0 else 0
+        self.embedding_table = Embedding(num_classes + use_cfg_embedding, hidden_size)
+        self.num_classes = num_classes
+        self.dropout_prob = dropout_prob
+
+    def __call__(self, params: Params, labels: jax.Array) -> jax.Array:
+        return self.embedding_table(params["embedding_table"], labels)
+
+
+class CombinedTimestepLabelEmbeddings(Module):
+    """timestep MLP + class-label embedding, summed (reference
+    embeddings.py:1566)."""
+
+    def __init__(self, num_classes: int, embedding_dim: int, class_dropout_prob: float = 0.1):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True, downscale_freq_shift=1)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256, time_embed_dim=embedding_dim)
+        self.class_embedder = LabelEmbedding(num_classes, embedding_dim, class_dropout_prob)
+
+    def __call__(self, params: Params, timestep: jax.Array, class_labels: jax.Array,
+                 dtype=jnp.float32) -> jax.Array:
+        t_emb = self.timestep_embedder(
+            params["timestep_embedder"], self.time_proj({}, timestep).astype(dtype)
+        )
+        c_emb = self.class_embedder(params["class_embedder"], class_labels)
+        return t_emb + c_emb
 
 
 def get_2d_sincos_pos_embed(
