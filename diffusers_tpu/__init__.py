@@ -49,6 +49,7 @@ from .pipelines.auto_pipeline import (
 from .pipelines.ddpm.pipeline_ddpm import DDPMPipeline
 from .pipelines.pixart_alpha.pipeline_pixart_alpha import PixArtAlphaPipeline, PixArtSigmaPipeline
 from .pipelines.dit.pipeline_dit import DiTPipeline
+from .pipelines.consistency_models.pipeline_consistency_models import ConsistencyModelPipeline
 from .pipelines.flux.pipeline_flux import FluxPipeline
 from .pipelines.flux.pipeline_flux_controlnet import FluxControlNetPipeline
 from .pipelines.pipeline_utils import DiffusionPipeline
@@ -106,6 +107,7 @@ from .models.autoencoders.autoencoder_kl_cogvideox import AutoencoderKLCogVideoX
 from .schedulers import CogVideoXDDIMScheduler
 from .quantizers import Fp8WeightOnlyConfig, Int8DynamicActConfig, Int8WeightOnlyConfig, quantize_params
 from .schedulers import (
+    CMStochasticIterativeScheduler,
     DDIMInverseScheduler,
     DEISMultistepScheduler,
     DPMSolverSinglestepScheduler,
