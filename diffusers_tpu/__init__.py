@@ -87,6 +87,10 @@ from .models.controlnets.controlnet import ControlNetModel
 from .models.controlnets.controlnet_flux import FluxControlNetModel, FluxMultiControlNetModel
 from .models.controlnets.controlnet_sd3 import SD3ControlNetModel, SD3MultiControlNetModel
 from .models.transformers.transformer_wan import WanTransformer3DModel
+from .models.transformers.transformer_hunyuan_video import HunyuanVideoTransformer3DModel
+from .models.autoencoders.autoencoder_kl_hunyuan_video import AutoencoderKLHunyuanVideo
+from .models.text_encoders.llama import LlamaModel
+from .pipelines.hunyuan_video import HunyuanVideoPipeline
 from .pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
 from .pipelines.controlnet.pipeline_controlnet_sd_xl import StableDiffusionXLControlNetPipeline
 from .pipelines.controlnet_sd3.pipeline_stable_diffusion_3_controlnet import StableDiffusion3ControlNetPipeline
