@@ -104,6 +104,8 @@ from .models.adapter import MultiAdapter, T2IAdapter
 from .pipelines.t2i_adapter import StableDiffusionAdapterPipeline
 from .pipelines.stable_diffusion_3.pipeline_stable_diffusion_3 import StableDiffusion3Pipeline
 from .pipelines.wan.pipeline_wan import WanPipeline
+from .models.unets.unet_motion_model import MotionAdapter, UNetMotionModel
+from .pipelines.animatediff import AnimateDiffPipeline
 from .pipelines.ltx.pipeline_ltx import LTXPipeline
 from .pipelines.cogvideo import CogVideoXPipeline
 from .models.transformers.cogvideox_transformer_3d import CogVideoXTransformer3DModel

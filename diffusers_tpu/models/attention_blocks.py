@@ -19,6 +19,19 @@ from ..ops.module import LayerNorm, Linear, Module, ModuleList, Params
 from .attention import Attention
 
 
+def _sinusoidal_pe(seq_len: int, dim: int) -> jax.Array:
+    """Interleaved sin/cos table (reference embeddings.py
+    SinusoidalPositionalEmbedding:1360); constant-folded under jit."""
+    import math
+
+    position = jnp.arange(seq_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim))
+    pe = jnp.zeros((seq_len, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
 class GELUProj(Module):
     """Linear + GELU (reference activations.GELU)."""
 
@@ -143,9 +156,18 @@ class BasicTransformerBlock(Module):
         ff_inner_dim: Optional[int] = None,
         ff_bias: bool = True,
         attention_out_bias: bool = True,
+        positional_embeddings: Optional[str] = None,
+        num_positional_embeddings: Optional[int] = None,
     ):
         super().__init__()
         self.only_cross_attention = only_cross_attention
+        if positional_embeddings is not None and positional_embeddings != "sinusoidal":
+            raise NotImplementedError(f"positional_embeddings {positional_embeddings!r} not supported")
+        # AnimateDiff temporal blocks add a parameter-free sinusoidal table to
+        # the normed hidden states before attn1/attn2 (reference
+        # models/attention.py:849,998 + embeddings.py SinusoidalPositionalEmbedding)
+        self.positional_embeddings = positional_embeddings
+        self.num_positional_embeddings = num_positional_embeddings
 
         self.norm1 = LayerNorm(dim, eps=norm_eps, use_scale=norm_elementwise_affine, use_bias=norm_elementwise_affine)
         self.attn1 = Attention(
@@ -195,6 +217,8 @@ class BasicTransformerBlock(Module):
 
         # 1. self attention
         norm_hidden = self.norm1(params["norm1"], hidden_states)
+        if self.positional_embeddings is not None:
+            norm_hidden = norm_hidden + _sinusoidal_pe(norm_hidden.shape[-2], norm_hidden.shape[-1]).astype(norm_hidden.dtype)
         attn_output = self.attn1(
             params["attn1"],
             norm_hidden,
@@ -206,6 +230,8 @@ class BasicTransformerBlock(Module):
         # 2. cross attention
         if self.attn2 is not None:
             norm_hidden = self.norm2(params["norm2"], hidden_states)
+            if self.positional_embeddings is not None:
+                norm_hidden = norm_hidden + _sinusoidal_pe(norm_hidden.shape[-2], norm_hidden.shape[-1]).astype(norm_hidden.dtype)
             attn_output = self.attn2(
                 params["attn2"],
                 norm_hidden,

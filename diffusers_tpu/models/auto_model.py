@@ -12,6 +12,8 @@ from typing import Optional
 _MODEL_REGISTRY = {
     "UNet2DModel": "diffusers_tpu.models.unets.unet_2d.UNet2DModel",
     "UNet2DConditionModel": "diffusers_tpu.models.unets.unet_2d_condition.UNet2DConditionModel",
+    "UNetMotionModel": "diffusers_tpu.models.unets.unet_motion_model.UNetMotionModel",
+    "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
     "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",

@@ -80,6 +80,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "PixArtTransformer2DModel": "diffusers_tpu.models.transformers.pixart_transformer_2d.PixArtTransformer2DModel",
     "LTXVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_ltx.LTXVideoTransformer3DModel",
     "AutoencoderKLLTXVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx.AutoencoderKLLTXVideo",
+    "UNetMotionModel": "diffusers_tpu.models.unets.unet_motion_model.UNetMotionModel",
+    "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
 }
 
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
