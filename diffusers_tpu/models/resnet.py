@@ -179,3 +179,126 @@ class ResnetBlock2D(Module):
             input_tensor = self.conv_shortcut(params["conv_shortcut"], input_tensor)
 
         return (input_tensor + hidden_states) / self.output_scale_factor
+
+
+# --------------------------------------------------------------------------
+# SVD spatio-temporal blocks (reference models/resnet.py:546,639,723)
+
+
+class TemporalResnetBlock(Module):
+    """Resnet over the frame axis: 3D convs with kernel (3,1,1) on
+    [B, F, H, W, C] activations (reference resnet.py:546)."""
+
+    def __init__(self, in_channels: int, out_channels: Optional[int] = None,
+                 temb_channels: Optional[int] = 512, eps: float = 1e-6):
+        super().__init__()
+        from ..ops.module import Conv3d  # local import; resnet.py predates Conv3d
+
+        out_channels = in_channels if out_channels is None else out_channels
+        self.norm1 = GroupNorm(num_groups=32, num_channels=in_channels, eps=eps)
+        self.conv1 = Conv3d(in_channels, out_channels, kernel_size=(3, 1, 1), padding=(1, 0, 0))
+        self.time_emb_proj = Linear(temb_channels, out_channels) if temb_channels is not None else None
+        self.norm2 = GroupNorm(num_groups=32, num_channels=out_channels, eps=eps)
+        self.conv2 = Conv3d(out_channels, out_channels, kernel_size=(3, 1, 1), padding=(1, 0, 0))
+        self.nonlinearity = get_activation("silu")
+        self.use_in_shortcut = in_channels != out_channels
+        if self.use_in_shortcut:
+            self.conv_shortcut = Conv3d(in_channels, out_channels, kernel_size=1)
+
+    def __call__(self, params: Params, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        # x: [B, F, H, W, C]; temb: [B, F, temb_channels]
+        h = self.norm1(params["norm1"], x)
+        h = self.nonlinearity(h)
+        h = self.conv1(params["conv1"], h)
+        if self.time_emb_proj is not None and temb is not None:
+            t = self.time_emb_proj(params["time_emb_proj"], self.nonlinearity(temb))
+            h = h + t[:, :, None, None, :]
+        h = self.norm2(params["norm2"], h)
+        h = self.nonlinearity(h)
+        h = self.conv2(params["conv2"], h)
+        if self.use_in_shortcut:
+            x = self.conv_shortcut(params["conv_shortcut"], x)
+        return x + h
+
+
+class AlphaBlender(Module):
+    """Learned spatial/temporal blend (reference resnet.py:723)."""
+
+    strategies = ("learned", "fixed", "learned_with_images")
+
+    def __init__(self, alpha: float, merge_strategy: str = "learned_with_images",
+                 switch_spatial_to_temporal_mix: bool = False):
+        super().__init__()
+        if merge_strategy not in self.strategies:
+            raise ValueError(f"merge_strategy needs to be in {self.strategies}")
+        self.alpha = alpha
+        self.merge_strategy = merge_strategy
+        self.switch_spatial_to_temporal_mix = switch_spatial_to_temporal_mix
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        # "fixed" stores a buffer; learned variants a trainable scalar — same
+        # param tree entry either way (reference registers buffer vs Parameter)
+        return {"mix_factor": jnp.full((1,), self.alpha, dtype=dtype)}
+
+    def get_alpha(self, params: Params, image_only_indicator: jax.Array, ndims: int) -> jax.Array:
+        if self.merge_strategy == "fixed":
+            return params["mix_factor"]
+        if self.merge_strategy == "learned":
+            return jax.nn.sigmoid(params["mix_factor"])
+        # learned_with_images: per-(batch, frame) alpha, 1 where image-only
+        alpha = jnp.where(
+            image_only_indicator.astype(bool),
+            jnp.ones((1, 1), dtype=params["mix_factor"].dtype),
+            jax.nn.sigmoid(params["mix_factor"])[..., None],
+        )  # [B, F]
+        if ndims == 5:  # [B, F, H, W, C]
+            return alpha[:, :, None, None, None]
+        if ndims == 3:  # [B*F, S, C]
+            return alpha.reshape(-1)[:, None, None]
+        raise ValueError(f"Unexpected ndims {ndims}")
+
+    def __call__(self, params: Params, x_spatial: jax.Array, x_temporal: jax.Array,
+                 image_only_indicator: Optional[jax.Array] = None) -> jax.Array:
+        alpha = self.get_alpha(params, image_only_indicator, x_spatial.ndim).astype(x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class SpatioTemporalResBlock(Module):
+    """Spatial ResnetBlock2D + TemporalResnetBlock + AlphaBlender
+    (reference resnet.py:639). Operates on [B*F, H, W, C] with the frame count
+    taken from `image_only_indicator` [B, F]."""
+
+    def __init__(self, in_channels: int, out_channels: Optional[int] = None,
+                 temb_channels: Optional[int] = 512, eps: float = 1e-6,
+                 temporal_eps: Optional[float] = None, merge_factor: float = 0.5,
+                 merge_strategy: str = "learned_with_images",
+                 switch_spatial_to_temporal_mix: bool = False):
+        super().__init__()
+        self.spatial_res_block = ResnetBlock2D(
+            in_channels=in_channels, out_channels=out_channels, temb_channels=temb_channels, eps=eps
+        )
+        oc = out_channels if out_channels is not None else in_channels
+        self.temporal_res_block = TemporalResnetBlock(
+            in_channels=oc, out_channels=oc, temb_channels=temb_channels,
+            eps=temporal_eps if temporal_eps is not None else eps,
+        )
+        self.time_mixer = AlphaBlender(
+            alpha=merge_factor, merge_strategy=merge_strategy,
+            switch_spatial_to_temporal_mix=switch_spatial_to_temporal_mix,
+        )
+
+    def __call__(self, params: Params, hidden_states: jax.Array,
+                 temb: Optional[jax.Array] = None,
+                 image_only_indicator: Optional[jax.Array] = None) -> jax.Array:
+        num_frames = image_only_indicator.shape[-1]
+        hidden_states = self.spatial_res_block(params["spatial_res_block"], hidden_states, temb)
+
+        bf, height, width, channels = hidden_states.shape
+        batch = bf // num_frames
+        h5 = hidden_states.reshape(batch, num_frames, height, width, channels)
+        temb5 = temb.reshape(batch, num_frames, -1) if temb is not None else None
+        mixed = self.temporal_res_block(params["temporal_res_block"], h5, temb5)
+        mixed = self.time_mixer(params["time_mixer"], h5, mixed, image_only_indicator=image_only_indicator)
+        return mixed.reshape(bf, height, width, channels)
