@@ -50,18 +50,20 @@ class CogCausalConv3d(Module):
         k = (kernel_size,) * 3 if isinstance(kernel_size, int) else tuple(kernel_size)
         self.time_kernel_size = k[0]
         self.pad_mode = pad_mode
-        hp, wp = (k[1] - 1) // 2, (k[2] - 1) // 2
+        self.hp, self.wp = (k[1] - 1) // 2, (k[2] - 1) // 2
         stride = (stride, 1, 1) if isinstance(stride, int) else stride
-        self.conv = Conv3d(in_channels, out_channels, kernel_size=k, stride=stride,
-                           padding=((0, 0), (hp, hp), (wp, wp)))
+        # "replicate" (Mochi) edge-pads spatially too, so the conv itself pads
+        # nothing; other modes zero-pad spatially inside the conv (reference
+        # CogVideoXCausalConv3d:105-121)
+        pad = ((0, 0), (0, 0), (0, 0)) if pad_mode == "replicate" else ((0, 0), (self.hp, self.hp), (self.wp, self.wp))
+        self.conv = Conv3d(in_channels, out_channels, kernel_size=k, stride=stride, padding=pad)
 
     def __call__(self, params, x):  # x: [B, T, H, W, C]
         kt = self.time_kernel_size
-        if kt > 1:
-            if self.pad_mode == "replicate":
-                first = jnp.repeat(x[:, :1], kt - 1, axis=1)
-            else:  # "first"/"constant": repeat the first frame
-                first = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        if self.pad_mode == "replicate":
+            x = jnp.pad(x, ((0, 0), (kt - 1, 0), (self.hp, self.hp), (self.wp, self.wp), (0, 0)), mode="edge")
+        elif kt > 1:
+            first = jnp.repeat(x[:, :1], kt - 1, axis=1)  # "first"/"constant"
             x = jnp.concatenate([first, x], axis=1)
         return self.conv(params["conv"], x)
 
