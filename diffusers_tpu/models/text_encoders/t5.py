@@ -152,20 +152,33 @@ class T5Block(Module):
 
 
 class T5Stack(Module):
-    def __init__(self, cfg):
+    def __init__(self, cfg, per_layer_relative_bias: bool = False):
         super().__init__()
         self.cfg = cfg
-        self.block = ModuleList([T5Block(cfg, has_relative_bias=(i == 0)) for i in range(cfg["num_layers"])])
+        self.per_layer_relative_bias = per_layer_relative_bias
+        self.block = ModuleList(
+            [T5Block(cfg, has_relative_bias=(per_layer_relative_bias or i == 0)) for i in range(cfg["num_layers"])]
+        )
         self.final_layer_norm = RMSNorm(cfg["d_model"], eps=cfg.get("layer_norm_epsilon", 1e-6))
 
     def __call__(self, params, hidden, attention_mask=None):
         s = hidden.shape[1]
-        position_bias = self.block[0].layer[0].SelfAttention.compute_bias(
-            params["block"][0]["layer"][0]["SelfAttention"], s
-        )
+        mask = None
         if attention_mask is not None:
             # [B,S] -> additive [B,1,1,S]
             mask = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+        if self.per_layer_relative_bias:
+            # UMT5: each layer computes its own relative bias
+            for i, block in enumerate(self.block):
+                bias = block.layer[0].SelfAttention.compute_bias(
+                    params["block"][i]["layer"][0]["SelfAttention"], s
+                )
+                hidden = block(params["block"][i], hidden, bias if mask is None else bias + mask)
+            return self.final_layer_norm(params["final_layer_norm"], hidden)
+        position_bias = self.block[0].layer[0].SelfAttention.compute_bias(
+            params["block"][0]["layer"][0]["SelfAttention"], s
+        )
+        if mask is not None:
             position_bias = position_bias + mask
         for i, block in enumerate(self.block):
             hidden = block(params["block"][i], hidden, position_bias)
@@ -255,3 +268,13 @@ class T5EncoderModel(Module, ModelMixin, ConfigMixin):
         from .clip import _save_transformers_style
 
         _save_transformers_style(self, save_directory, params)
+
+
+class UMT5EncoderModel(T5EncoderModel):
+    """UMT5 variant: every layer owns its relative attention bias (used by
+    AuraFlow's pile-t5 and Wan's umt5-xxl; transformers UMT5EncoderModel)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        cfg = self.encoder.cfg
+        self.encoder = T5Stack(cfg, per_layer_relative_bias=True)
