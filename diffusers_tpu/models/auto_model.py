@@ -14,6 +14,11 @@ _MODEL_REGISTRY = {
     "UNet2DConditionModel": "diffusers_tpu.models.unets.unet_2d_condition.UNet2DConditionModel",
     "UNetMotionModel": "diffusers_tpu.models.unets.unet_motion_model.UNetMotionModel",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
+    "UNetSpatioTemporalConditionModel": "diffusers_tpu.models.unets.unet_spatio_temporal_condition.UNetSpatioTemporalConditionModel",
+    "AutoencoderKLTemporalDecoder": "diffusers_tpu.models.autoencoders.autoencoder_kl_temporal_decoder.AutoencoderKLTemporalDecoder",
+    "MochiTransformer3DModel": "diffusers_tpu.models.transformers.transformer_mochi.MochiTransformer3DModel",
+    "AutoencoderKLMochi": "diffusers_tpu.models.autoencoders.autoencoder_kl_mochi.AutoencoderKLMochi",
+    "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",

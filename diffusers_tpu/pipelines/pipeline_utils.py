@@ -81,6 +81,11 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LTXVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_ltx.LTXVideoTransformer3DModel",
     "AutoencoderKLLTXVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx.AutoencoderKLLTXVideo",
     "UNetMotionModel": "diffusers_tpu.models.unets.unet_motion_model.UNetMotionModel",
+    "UNetSpatioTemporalConditionModel": "diffusers_tpu.models.unets.unet_spatio_temporal_condition.UNetSpatioTemporalConditionModel",
+    "AutoencoderKLTemporalDecoder": "diffusers_tpu.models.autoencoders.autoencoder_kl_temporal_decoder.AutoencoderKLTemporalDecoder",
+    "MochiTransformer3DModel": "diffusers_tpu.models.transformers.transformer_mochi.MochiTransformer3DModel",
+    "AutoencoderKLMochi": "diffusers_tpu.models.autoencoders.autoencoder_kl_mochi.AutoencoderKLMochi",
+    "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
 }
 
@@ -90,6 +95,7 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "CLIPVisionModel": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModel",
     "CLIPVisionModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModelWithProjection",
     "T5EncoderModel": "diffusers_tpu.models.text_encoders.t5.T5EncoderModel",
+    "UMT5EncoderModel": "diffusers_tpu.models.text_encoders.t5.UMT5EncoderModel",
     "Gemma2Model": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
     "Gemma2ForCausalLM": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
 }
