@@ -86,6 +86,8 @@ _import_structure = {
     "pipelines.mochi": ['MochiPipeline'],
     "models.transformers.auraflow_transformer_2d": ['AuraFlowTransformer2DModel'],
     "pipelines.aura_flow": ['AuraFlowPipeline'],
+    "models.transformers.transformer_lumina2": ['Lumina2Transformer2DModel'],
+    "pipelines.lumina2": ['Lumina2Pipeline'],
     "pipelines.ltx.pipeline_ltx": ['LTXPipeline'],
     "pipelines.cogvideo": ['CogVideoXPipeline'],
     "models.transformers.cogvideox_transformer_3d": ['CogVideoXTransformer3DModel'],

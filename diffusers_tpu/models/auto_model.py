@@ -19,6 +19,7 @@ _MODEL_REGISTRY = {
     "MochiTransformer3DModel": "diffusers_tpu.models.transformers.transformer_mochi.MochiTransformer3DModel",
     "AutoencoderKLMochi": "diffusers_tpu.models.autoencoders.autoencoder_kl_mochi.AutoencoderKLMochi",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
+    "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",

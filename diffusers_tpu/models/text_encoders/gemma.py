@@ -37,6 +37,7 @@ from ..modeling_utils import ModelMixin, convert_torch_state_dict
 @dataclass
 class GemmaEncoderOutput(BaseOutput):
     last_hidden_state: jax.Array
+    hidden_states: Optional[list] = None
 
 
 class GemmaRMSNorm(Module):
@@ -186,14 +187,22 @@ class Gemma2Model(Module, ModelMixin, ConfigMixin):
         self.norm = GemmaRMSNorm(hidden_size, rms_norm_eps)
 
     def __call__(self, params: Params, input_ids: jax.Array,
-                 attention_mask: Optional[jax.Array] = None) -> GemmaEncoderOutput:
+                 attention_mask: Optional[jax.Array] = None,
+                 output_hidden_states: bool = False) -> GemmaEncoderOutput:
         x = self.embed_tokens(params["embed_tokens"], input_ids)
         x = x * jnp.asarray(self.hidden_size**0.5, x.dtype)  # Gemma embedding normalizer
         positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]), input_ids.shape)
+        # transformers layout: [embeddings, after each layer except the last,
+        # final post-norm] so hidden_states[-2] is the last layer's INPUT
+        all_hidden = [] if output_hidden_states else None
         for i, layer in enumerate(self.layers):
+            if output_hidden_states:
+                all_hidden.append(x)
             x = layer(params["layers"][i], x, positions, attention_mask)
         x = self.norm(params["norm"], x)
-        return GemmaEncoderOutput(last_hidden_state=x)
+        if output_hidden_states:
+            all_hidden.append(x)
+        return GemmaEncoderOutput(last_hidden_state=x, hidden_states=all_hidden)
 
     @classmethod
     def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None, quantization_config=None, **kwargs):

@@ -86,6 +86,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "MochiTransformer3DModel": "diffusers_tpu.models.transformers.transformer_mochi.MochiTransformer3DModel",
     "AutoencoderKLMochi": "diffusers_tpu.models.autoencoders.autoencoder_kl_mochi.AutoencoderKLMochi",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
+    "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
 }
 
