@@ -451,3 +451,41 @@ def get_3d_rotary_pos_embed_np(
         return np.concatenate([ft, fh, fw], axis=-1).reshape(temporal_size * gh * gw, -1)
 
     return combine(t_cos, h_cos, w_cos), combine(t_sin, h_sin, w_sin)
+
+
+def get_2d_rotary_pos_embed_np(embed_dim: int, crops_coords, grid_size):
+    """2D RoPE cos/sin over a cropped grid (reference embeddings.py
+    get_2d_rotary_pos_embed `:975` / `_get_2d_rotary_pos_embed_np`): half the
+    dims encode rows, half columns; returns ([N, D], [N, D]) numpy fp32."""
+    start, stop = crops_coords
+    grid_h = np.linspace(start[0], stop[0], grid_size[0], endpoint=False, dtype=np.float32)
+    grid_w = np.linspace(start[1], stop[1], grid_size[1], endpoint=False, dtype=np.float32)
+    grid = np.meshgrid(grid_w, grid_h)  # 'xy': grid[0]=w values, grid[1]=h
+    # reference feeds grid[0] (w) to the FIRST half of dims (embeddings.py:1072)
+    cos_0, sin_0 = get_1d_rotary_pos_embed_np(embed_dim // 2, grid[0].reshape(-1))
+    cos_1, sin_1 = get_1d_rotary_pos_embed_np(embed_dim // 2, grid[1].reshape(-1))
+    return np.concatenate([cos_0, cos_1], axis=1), np.concatenate([sin_0, sin_1], axis=1)
+
+
+def get_resize_crop_region_for_grid(src, tgt_size):
+    """Aspect-preserving crop region (reference pipeline_hunyuandit.py:102)."""
+    th = tw = tgt_size
+    h, w = src
+    r = h / w
+    if r > 1:
+        resize_height = th
+        resize_width = int(round(th / h * w))
+    else:
+        resize_width = tw
+        resize_height = int(round(tw / w * h))
+    crop_top = int(round((th - resize_height) / 2.0))
+    crop_left = int(round((tw - resize_width) / 2.0))
+    return (crop_top, crop_left), (crop_top + resize_height, crop_left + resize_width)
+
+
+def get_1d_sincos_pos_embed_from_grid_np(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    """1D sin|cos table (reference embeddings.py:431)."""
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000**omega
+    out = np.einsum("m,d->md", np.asarray(pos, np.float64).reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
