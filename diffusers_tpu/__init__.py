@@ -88,6 +88,15 @@ _import_structure = {
     "pipelines.aura_flow": ['AuraFlowPipeline'],
     "models.transformers.transformer_lumina2": ['Lumina2Transformer2DModel'],
     "pipelines.lumina2": ['Lumina2Pipeline'],
+    "models.transformers.transformer_chroma": ['ChromaTransformer2DModel'],
+    "pipelines.chroma": ['ChromaPipeline'],
+    "models.transformers.hunyuan_transformer_2d": ['HunyuanDiT2DModel'],
+    "pipelines.hunyuandit": ['HunyuanDiTPipeline'],
+    "models.transformers.transformer_cogview4": ['CogView4Transformer2DModel'],
+    "pipelines.cogview4": ['CogView4Pipeline'],
+    "models.autoencoders.autoencoder_asym_kl": ['AsymmetricAutoencoderKL'],
+    "models.transformers.latte_transformer_3d": ['LatteTransformer3DModel'],
+    "pipelines.latte": ['LattePipeline'],
     "pipelines.ltx.pipeline_ltx": ['LTXPipeline'],
     "pipelines.cogvideo": ['CogVideoXPipeline'],
     "models.transformers.cogvideox_transformer_3d": ['CogVideoXTransformer3DModel'],

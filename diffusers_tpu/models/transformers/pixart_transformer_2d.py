@@ -78,10 +78,13 @@ class PixArtTransformerBlock(Module):
         self.attn1 = Attention(
             query_dim=dim, heads=num_attention_heads, dim_head=attention_head_dim, bias=attention_bias
         )
-        self.attn2 = Attention(
-            query_dim=dim, cross_attention_dim=cross_attention_dim, heads=num_attention_heads,
-            dim_head=attention_head_dim, bias=attention_bias,
-        )
+        # cross_attention_dim=None → self-attention-only block (Latte temporal)
+        self.attn2 = None
+        if cross_attention_dim is not None:
+            self.attn2 = Attention(
+                query_dim=dim, cross_attention_dim=cross_attention_dim, heads=num_attention_heads,
+                dim_head=attention_head_dim, bias=attention_bias,
+            )
         self.norm2 = LayerNorm(dim, eps=norm_eps, use_scale=False, use_bias=False)
         self.ff = FeedForward(dim, activation_fn=activation_fn)
 
@@ -102,11 +105,12 @@ class PixArtTransformerBlock(Module):
         attn_output = self.attn1(params["attn1"], norm_hidden)
         hidden_states = gate_msa * attn_output + hidden_states
 
-        attn_output = self.attn2(
-            params["attn2"], hidden_states, encoder_hidden_states=encoder_hidden_states,
-            attention_mask=encoder_attention_mask,
-        )
-        hidden_states = attn_output + hidden_states
+        if self.attn2 is not None:
+            attn_output = self.attn2(
+                params["attn2"], hidden_states, encoder_hidden_states=encoder_hidden_states,
+                attention_mask=encoder_attention_mask,
+            )
+            hidden_states = attn_output + hidden_states
 
         norm_hidden = self.norm2({}, hidden_states)
         norm_hidden = norm_hidden * (1 + scale_mlp) + shift_mlp

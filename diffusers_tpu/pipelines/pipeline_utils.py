@@ -87,6 +87,11 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLMochi": "diffusers_tpu.models.autoencoders.autoencoder_kl_mochi.AutoencoderKLMochi",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
+    "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
+    "HunyuanDiT2DModel": "diffusers_tpu.models.transformers.hunyuan_transformer_2d.HunyuanDiT2DModel",
+    "CogView4Transformer2DModel": "diffusers_tpu.models.transformers.transformer_cogview4.CogView4Transformer2DModel",
+    "AsymmetricAutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_asym_kl.AsymmetricAutoencoderKL",
+    "LatteTransformer3DModel": "diffusers_tpu.models.transformers.latte_transformer_3d.LatteTransformer3DModel",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
 }
 
