@@ -97,6 +97,8 @@ _import_structure = {
     "models.autoencoders.autoencoder_asym_kl": ['AsymmetricAutoencoderKL'],
     "models.transformers.latte_transformer_3d": ['LatteTransformer3DModel'],
     "pipelines.latte": ['LattePipeline'],
+    "models.transformers.transformer_skyreels_v2": ['SkyReelsV2Transformer3DModel'],
+    "pipelines.skyreels_v2": ['SkyReelsV2Pipeline', 'SkyReelsV2DiffusionForcingPipeline'],
     "pipelines.ltx.pipeline_ltx": ['LTXPipeline'],
     "pipelines.cogvideo": ['CogVideoXPipeline'],
     "models.transformers.cogvideox_transformer_3d": ['CogVideoXTransformer3DModel'],

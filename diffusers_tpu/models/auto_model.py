@@ -25,6 +25,7 @@ _MODEL_REGISTRY = {
     "CogView4Transformer2DModel": "diffusers_tpu.models.transformers.transformer_cogview4.CogView4Transformer2DModel",
     "AsymmetricAutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_asym_kl.AsymmetricAutoencoderKL",
     "LatteTransformer3DModel": "diffusers_tpu.models.transformers.latte_transformer_3d.LatteTransformer3DModel",
+    "SkyReelsV2Transformer3DModel": "diffusers_tpu.models.transformers.transformer_skyreels_v2.SkyReelsV2Transformer3DModel",
     "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",

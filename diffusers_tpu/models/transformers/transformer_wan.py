@@ -68,6 +68,7 @@ class WanAttention(Module):
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
         rotary_emb: Optional[Tuple[jax.Array, jax.Array]] = None,
+        attention_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         b = hidden_states.shape[0]
         encoder_img = None
@@ -98,7 +99,7 @@ class WanAttention(Module):
             out_img = dispatch_attention_fn(q, k_img, v_img)
             out_img = out_img.reshape(b, -1, self.inner_dim)
 
-        out = dispatch_attention_fn(q, k, v)
+        out = dispatch_attention_fn(q, k, v, attn_mask=attention_mask)
         out = out.reshape(b, -1, self.inner_dim).astype(q.dtype)
         if out_img is not None:
             out = out + out_img.astype(out.dtype)
@@ -221,16 +222,23 @@ class WanTransformerBlock(Module):
         ).astype(jnp.float32)
         return params
 
-    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, rotary_emb):
-        mods = params["scale_shift_table"].astype(jnp.float32) + temb.astype(jnp.float32)  # [B, 6, D]
-        shift_msa, scale_msa, gate_msa, c_shift_msa, c_scale_msa, c_gate_msa = [
-            m.squeeze(1) for m in jnp.split(mods, 6, axis=1)
-        ]
+    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, rotary_emb,
+                 attention_mask=None):
+        if temb.ndim == 3:  # [B, 6, D]
+            mods = params["scale_shift_table"].astype(jnp.float32) + temb.astype(jnp.float32)
+            shift_msa, scale_msa, gate_msa, c_shift_msa, c_scale_msa, c_gate_msa = [
+                m.squeeze(1)[:, None] for m in jnp.split(mods, 6, axis=1)
+            ]
+        else:  # [B, 6, N, D] per-token modulation (SkyReels diffusion forcing)
+            mods = params["scale_shift_table"].astype(jnp.float32)[:, :, None] + temb.astype(jnp.float32)
+            shift_msa, scale_msa, gate_msa, c_shift_msa, c_scale_msa, c_gate_msa = [
+                m.squeeze(1) for m in jnp.split(mods, 6, axis=1)
+            ]
         dtype = hidden_states.dtype
 
-        norm_h = (self.norm1({}, hidden_states.astype(jnp.float32)) * (1 + scale_msa[:, None]) + shift_msa[:, None]).astype(dtype)
-        attn_out = self.attn1(params["attn1"], norm_h, None, rotary_emb)
-        hidden_states = (hidden_states.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa[:, None]).astype(dtype)
+        norm_h = (self.norm1({}, hidden_states.astype(jnp.float32)) * (1 + scale_msa) + shift_msa).astype(dtype)
+        attn_out = self.attn1(params["attn1"], norm_h, None, rotary_emb, attention_mask=attention_mask)
+        hidden_states = (hidden_states.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa).astype(dtype)
 
         if self.cross_attn_norm:
             norm_h = self.norm2(params["norm2"], hidden_states.astype(jnp.float32)).astype(dtype)
@@ -239,9 +247,9 @@ class WanTransformerBlock(Module):
         attn_out = self.attn2(params["attn2"], norm_h, encoder_hidden_states, None)
         hidden_states = hidden_states + attn_out
 
-        norm_h = (self.norm3({}, hidden_states.astype(jnp.float32)) * (1 + c_scale_msa[:, None]) + c_shift_msa[:, None]).astype(dtype)
+        norm_h = (self.norm3({}, hidden_states.astype(jnp.float32)) * (1 + c_scale_msa) + c_shift_msa).astype(dtype)
         ff_out = self.ffn(params["ffn"], norm_h)
-        hidden_states = (hidden_states.astype(jnp.float32) + ff_out.astype(jnp.float32) * c_gate_msa[:, None]).astype(dtype)
+        hidden_states = (hidden_states.astype(jnp.float32) + ff_out.astype(jnp.float32) * c_gate_msa).astype(dtype)
         return hidden_states
 
 
