@@ -98,7 +98,9 @@ _import_structure = {
     "models.transformers.latte_transformer_3d": ['LatteTransformer3DModel'],
     "pipelines.latte": ['LattePipeline'],
     "models.transformers.transformer_skyreels_v2": ['SkyReelsV2Transformer3DModel'],
-    "pipelines.skyreels_v2": ['SkyReelsV2Pipeline', 'SkyReelsV2DiffusionForcingPipeline'],
+    "pipelines.skyreels_v2": ['SkyReelsV2Pipeline'],
+    "models.transformers.transformer_qwenimage": ['QwenImageTransformer2DModel'],
+    "pipelines.qwenimage": ['QwenImagePipeline'],
     "pipelines.ltx.pipeline_ltx": ['LTXPipeline'],
     "pipelines.cogvideo": ['CogVideoXPipeline'],
     "models.transformers.cogvideox_transformer_3d": ['CogVideoXTransformer3DModel'],

@@ -93,6 +93,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AsymmetricAutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_asym_kl.AsymmetricAutoencoderKL",
     "LatteTransformer3DModel": "diffusers_tpu.models.transformers.latte_transformer_3d.LatteTransformer3DModel",
     "SkyReelsV2Transformer3DModel": "diffusers_tpu.models.transformers.transformer_skyreels_v2.SkyReelsV2Transformer3DModel",
+    "QwenImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_qwenimage.QwenImageTransformer2DModel",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
 }
 
