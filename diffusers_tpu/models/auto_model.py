@@ -27,6 +27,7 @@ _MODEL_REGISTRY = {
     "LatteTransformer3DModel": "diffusers_tpu.models.transformers.latte_transformer_3d.LatteTransformer3DModel",
     "SkyReelsV2Transformer3DModel": "diffusers_tpu.models.transformers.transformer_skyreels_v2.SkyReelsV2Transformer3DModel",
     "QwenImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_qwenimage.QwenImageTransformer2DModel",
+    "PriorTransformer": "diffusers_tpu.models.transformers.prior_transformer.PriorTransformer",
     "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",

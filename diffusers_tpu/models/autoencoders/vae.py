@@ -81,6 +81,7 @@ class UpDecoderBlock2D(Module):
         output_scale_factor: float = 1.0,
         add_upsample: bool = True,
         temb_channels: Optional[int] = None,
+        resnet_time_scale_shift: str = "default",
     ):
         super().__init__()
         self.resnets = ModuleList(
@@ -93,6 +94,7 @@ class UpDecoderBlock2D(Module):
                     groups=resnet_groups,
                     non_linearity=resnet_act_fn,
                     output_scale_factor=output_scale_factor,
+                    time_embedding_norm=resnet_time_scale_shift,
                 )
                 for i in range(num_layers)
             ]

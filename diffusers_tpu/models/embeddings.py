@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.module import Embedding, Linear, Module, Params, get_activation
+from ..ops.module import Embedding, LayerNorm, Linear, Module, Params, get_activation
 
 
 def get_timestep_embedding(
@@ -489,3 +489,34 @@ def get_1d_sincos_pos_embed_from_grid_np(embed_dim: int, pos: np.ndarray) -> np.
     omega = 1.0 / 10000**omega
     out = np.einsum("m,d->md", np.asarray(pos, np.float64).reshape(-1), omega)
     return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
+
+
+class ImageProjection(Module):
+    """Image embed → N cross-attention tokens (reference embeddings.py:1515;
+    Kandinsky 2.2 decoder conditioning)."""
+
+    def __init__(self, image_embed_dim: int = 768, cross_attention_dim: int = 768,
+                 num_image_text_embeds: int = 32):
+        super().__init__()
+        self.num_image_text_embeds = num_image_text_embeds
+        self.image_embeds = Linear(image_embed_dim, num_image_text_embeds * cross_attention_dim)
+        self.norm = LayerNorm(cross_attention_dim)
+
+    def __call__(self, params: Params, image_embeds: jax.Array) -> jax.Array:
+        b = image_embeds.shape[0]
+        x = self.image_embeds(params["image_embeds"], image_embeds)
+        x = x.reshape(b, self.num_image_text_embeds, -1)
+        return self.norm(params["norm"], x)
+
+
+class ImageTimeEmbedding(Module):
+    """Image embed → time-embedding summand (reference embeddings.py:1865)."""
+
+    def __init__(self, image_embed_dim: int = 768, time_embed_dim: int = 1536):
+        super().__init__()
+        self.image_proj = Linear(image_embed_dim, time_embed_dim)
+        self.image_norm = LayerNorm(time_embed_dim)
+
+    def __call__(self, params: Params, image_embeds: jax.Array) -> jax.Array:
+        x = self.image_proj(params["image_proj"], image_embeds)
+        return self.image_norm(params["image_norm"], x)

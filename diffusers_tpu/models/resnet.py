@@ -78,6 +78,25 @@ class Downsample2D(Module):
         ) / 4.0
 
 
+class SpatialNorm(Module):
+    """GN(f) modulated by a latent map: f̂·conv_y(zq)+conv_b(zq) (reference
+    normalization.py SpatialNorm; MoVQ decoder)."""
+
+    def __init__(self, f_channels: int, zq_channels: int):
+        super().__init__()
+        self.norm_layer = GroupNorm(num_groups=32, num_channels=f_channels, eps=1e-6)
+        self.conv_y = Conv2d(zq_channels, f_channels, kernel_size=1, padding=0)
+        self.conv_b = Conv2d(zq_channels, f_channels, kernel_size=1, padding=0)
+
+    def __call__(self, params: Params, f: jax.Array, zq: jax.Array) -> jax.Array:
+        # torch F.interpolate(nearest): floor indexing
+        hi = (jnp.arange(f.shape[1]) * (zq.shape[1] / f.shape[1])).astype(jnp.int32)
+        wi = (jnp.arange(f.shape[2]) * (zq.shape[2] / f.shape[2])).astype(jnp.int32)
+        zq_r = zq[:, hi][:, :, wi]
+        normed = self.norm_layer(params["norm_layer"], f)
+        return normed * self.conv_y(params["conv_y"], zq_r) + self.conv_b(params["conv_b"], zq_r)
+
+
 class ResnetBlock2D(Module):
     """norm→act→conv ×2 with timestep conditioning (reference resnet.py:159)."""
 
@@ -110,10 +129,13 @@ class ResnetBlock2D(Module):
         self.down = down
         groups_out = groups_out or groups
 
-        self.norm1 = GroupNorm(num_groups=groups, num_channels=in_channels, eps=eps)
+        if time_embedding_norm == "spatial":
+            self.norm1 = SpatialNorm(in_channels, temb_channels)
+        else:
+            self.norm1 = GroupNorm(num_groups=groups, num_channels=in_channels, eps=eps)
         self.conv1 = Conv2d(in_channels, out_channels, kernel_size=3, stride=1, padding=1)
 
-        if temb_channels is not None:
+        if temb_channels is not None and time_embedding_norm != "spatial":
             if time_embedding_norm == "default":
                 self.time_emb_proj = Linear(temb_channels, out_channels)
             elif time_embedding_norm == "scale_shift":
@@ -123,7 +145,10 @@ class ResnetBlock2D(Module):
         else:
             self.time_emb_proj = None
 
-        self.norm2 = GroupNorm(num_groups=groups_out, num_channels=out_channels, eps=eps)
+        if time_embedding_norm == "spatial":
+            self.norm2 = SpatialNorm(out_channels, temb_channels)
+        else:
+            self.norm2 = GroupNorm(num_groups=groups_out, num_channels=out_channels, eps=eps)
         conv_2d_out_channels = conv_2d_out_channels or out_channels
         self.conv2 = Conv2d(out_channels, conv_2d_out_channels, kernel_size=3, stride=1, padding=1)
         self.nonlinearity = get_activation(non_linearity)
@@ -140,10 +165,17 @@ class ResnetBlock2D(Module):
             )
 
     def __call__(self, params: Params, input_tensor: jax.Array, temb: Optional[jax.Array]) -> jax.Array:
-        use_fused_gn = self.nonlinearity is get_activation("silu") and not (self.up or self.down)
+        use_fused_gn = (
+            self.nonlinearity is get_activation("silu")
+            and not (self.up or self.down)
+            and self.time_embedding_norm != "spatial"
+        )
         hidden_states = _fused_gn_silu(self.norm1, params["norm1"], input_tensor) if use_fused_gn else None
         if hidden_states is None:
-            hidden_states = self.norm1(params["norm1"], input_tensor)
+            if self.time_embedding_norm == "spatial":
+                hidden_states = self.norm1(params["norm1"], input_tensor, temb)
+            else:
+                hidden_states = self.norm1(params["norm1"], input_tensor)
             hidden_states = self.nonlinearity(hidden_states)
 
         if self.up:
@@ -171,6 +203,8 @@ class ResnetBlock2D(Module):
             scale, shift = jnp.split(temb, 2, axis=-1)
             hidden_states = self.norm2(params["norm2"], hidden_states)
             hidden_states = hidden_states * (1 + scale) + shift
+        elif self.time_embedding_norm == "spatial":
+            hidden_states = self.norm2(params["norm2"], hidden_states, temb)
 
         hidden_states = fused2 if fused2 is not None else self.nonlinearity(hidden_states)
         hidden_states = self.conv2(params["conv2"], hidden_states)

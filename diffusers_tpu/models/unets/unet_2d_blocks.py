@@ -448,6 +448,27 @@ def get_down_block(
             downsample_padding=downsample_padding if downsample_padding is not None else 1,
             resnet_time_scale_shift=resnet_time_scale_shift,
         )
+    if down_block_type == "ResnetDownsampleBlock2D":
+        from .unet_2d_simple_blocks import ResnetDownsampleBlock2D
+
+        return ResnetDownsampleBlock2D(
+            num_layers=num_layers, in_channels=in_channels, out_channels=out_channels,
+            temb_channels=temb_channels, add_downsample=add_downsample, resnet_eps=resnet_eps,
+            resnet_act_fn=resnet_act_fn, resnet_groups=resnet_groups or 32,
+            resnet_time_scale_shift=resnet_time_scale_shift,
+        )
+    if down_block_type == "SimpleCrossAttnDownBlock2D":
+        from .unet_2d_simple_blocks import SimpleCrossAttnDownBlock2D
+
+        return SimpleCrossAttnDownBlock2D(
+            num_layers=num_layers, in_channels=in_channels, out_channels=out_channels,
+            temb_channels=temb_channels, add_downsample=add_downsample, resnet_eps=resnet_eps,
+            resnet_act_fn=resnet_act_fn, resnet_groups=resnet_groups or 32,
+            attention_head_dim=attention_head_dim if attention_head_dim is not None else out_channels,
+            cross_attention_dim=cross_attention_dim,
+            resnet_time_scale_shift=resnet_time_scale_shift,
+            only_cross_attention=only_cross_attention,
+        )
     raise ValueError(f"unsupported down_block_type {down_block_type}")
 
 
@@ -519,5 +540,27 @@ def get_up_block(
             transformer_layers_per_block=transformer_layers_per_block,
             use_linear_projection=use_linear_projection,
             resnet_time_scale_shift=resnet_time_scale_shift,
+        )
+    if up_block_type == "ResnetUpsampleBlock2D":
+        from .unet_2d_simple_blocks import ResnetUpsampleBlock2D
+
+        return ResnetUpsampleBlock2D(
+            num_layers=num_layers, in_channels=in_channels, out_channels=out_channels,
+            prev_output_channel=prev_output_channel, temb_channels=temb_channels,
+            add_upsample=add_upsample, resnet_eps=resnet_eps, resnet_act_fn=resnet_act_fn,
+            resnet_groups=resnet_groups or 32, resnet_time_scale_shift=resnet_time_scale_shift,
+        )
+    if up_block_type == "SimpleCrossAttnUpBlock2D":
+        from .unet_2d_simple_blocks import SimpleCrossAttnUpBlock2D
+
+        return SimpleCrossAttnUpBlock2D(
+            num_layers=num_layers, in_channels=in_channels, out_channels=out_channels,
+            prev_output_channel=prev_output_channel, temb_channels=temb_channels,
+            add_upsample=add_upsample, resnet_eps=resnet_eps, resnet_act_fn=resnet_act_fn,
+            resnet_groups=resnet_groups or 32,
+            attention_head_dim=attention_head_dim if attention_head_dim is not None else out_channels,
+            cross_attention_dim=cross_attention_dim,
+            resnet_time_scale_shift=resnet_time_scale_shift,
+            only_cross_attention=only_cross_attention,
         )
     raise ValueError(f"unsupported up_block_type {up_block_type}")

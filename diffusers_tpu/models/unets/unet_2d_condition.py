@@ -131,6 +131,13 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             encoder_hid_dim_type = "text_proj"
         if encoder_hid_dim_type == "text_proj":
             self.encoder_hid_proj = Linear(encoder_hid_dim, cross_attention_dims[0])
+        elif encoder_hid_dim_type == "image_proj":
+            # Kandinsky 2.2: image embeds → 32 cross-attention tokens
+            from ..embeddings import ImageProjection
+
+            self.encoder_hid_proj = ImageProjection(
+                image_embed_dim=encoder_hid_dim, cross_attention_dim=cross_attention_dims[0]
+            )
         elif encoder_hid_dim_type == "ip_image_proj":
             # populated post-hoc by loaders.ip_adapter.load_ip_adapter
             self.encoder_hid_proj = None
@@ -153,6 +160,11 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         if addition_embed_type == "text_time":
             self.add_time_proj = Timesteps(addition_time_embed_dim, flip_sin_to_cos, freq_shift)
             self.add_embedding = TimestepEmbedding(projection_class_embeddings_input_dim, time_embed_dim)
+        elif addition_embed_type == "image":
+            # Kandinsky 2.2
+            from ..embeddings import ImageTimeEmbedding
+
+            self.add_embedding = ImageTimeEmbedding(image_embed_dim=encoder_hid_dim, time_embed_dim=time_embed_dim)
         elif addition_embed_type is not None:
             raise NotImplementedError(f"addition_embed_type {addition_embed_type} not yet supported")
 
@@ -189,7 +201,21 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         self.down_blocks = ModuleList(down_blocks)
 
         # mid
-        if mid_block_type == "UNetMidBlock2DCrossAttn":
+        if mid_block_type == "UNetMidBlock2DSimpleCrossAttn":
+            from .unet_2d_simple_blocks import UNetMidBlock2DSimpleCrossAttn
+
+            self.mid_block = UNetMidBlock2DSimpleCrossAttn(
+                in_channels=block_out_channels[-1],
+                temb_channels=time_embed_dim,
+                resnet_eps=norm_eps,
+                resnet_act_fn=act_fn,
+                output_scale_factor=mid_block_scale_factor,
+                resnet_time_scale_shift=resnet_time_scale_shift,
+                cross_attention_dim=cross_attention_dims[-1],
+                attention_head_dim=attention_head_dim if isinstance(attention_head_dim, int) else attention_head_dim[-1],
+                resnet_groups=norm_num_groups,
+            )
+        elif mid_block_type == "UNetMidBlock2DCrossAttn":
             self.mid_block = UNetMidBlock2DCrossAttn(
                 transformer_layers_per_block=transformer_layers[-1],
                 in_channels=block_out_channels[-1],
@@ -298,7 +324,11 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             else:
                 emb = emb + class_emb
 
-        if self.config.addition_embed_type == "text_time":
+        if self.config.addition_embed_type == "image":
+            if added_cond_kwargs is None or "image_embeds" not in added_cond_kwargs:
+                raise ValueError("addition_embed_type 'image' requires added_cond_kwargs with image_embeds")
+            emb = emb + self.add_embedding(params["add_embedding"], added_cond_kwargs["image_embeds"])
+        elif self.config.addition_embed_type == "text_time":
             if added_cond_kwargs is None or "text_embeds" not in added_cond_kwargs:
                 raise ValueError("addition_embed_type 'text_time' requires added_cond_kwargs with text_embeds/time_ids")
             text_embeds = added_cond_kwargs["text_embeds"]
@@ -323,6 +353,11 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                     raise ValueError("IP-Adapter is loaded: pass added_cond_kwargs={'image_embeds': [...]}")
                 image_embeds = self.encoder_hid_proj(params["encoder_hid_proj"], added_cond_kwargs["image_embeds"])
                 encoder_hidden_states = (encoder_hidden_states, image_embeds)
+            elif self.config.encoder_hid_dim_type == "image_proj":
+                # Kandinsky 2.2: cross-attend to projected image tokens only
+                encoder_hidden_states = self.encoder_hid_proj(
+                    params["encoder_hid_proj"], added_cond_kwargs["image_embeds"]
+                )
             else:
                 encoder_hidden_states = self.encoder_hid_proj(params["encoder_hid_proj"], encoder_hidden_states)
 

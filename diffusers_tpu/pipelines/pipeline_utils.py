@@ -94,6 +94,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LatteTransformer3DModel": "diffusers_tpu.models.transformers.latte_transformer_3d.LatteTransformer3DModel",
     "SkyReelsV2Transformer3DModel": "diffusers_tpu.models.transformers.transformer_skyreels_v2.SkyReelsV2Transformer3DModel",
     "QwenImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_qwenimage.QwenImageTransformer2DModel",
+    "PriorTransformer": "diffusers_tpu.models.transformers.prior_transformer.PriorTransformer",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
 }
 
