@@ -245,6 +245,66 @@ class Conv3d(Module):
         return y
 
 
+class Conv1d(Module):
+    """1D convolution over NLC activations; kernel stored LIO (torch nn.Conv1d
+    weight [O, I, K] transposes to [K, I, O] on load)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int = 3,
+        stride: int = 1,
+        padding: int = 0,
+        dilation: int = 1,
+        groups: int = 1,
+        use_bias: bool = True,
+    ):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = ((padding, padding),)
+        self.dilation = dilation
+        self.groups = groups
+        self.use_bias = use_bias
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        k1, k2 = jax.random.split(key)
+        fan_in = self.in_channels // self.groups * self.kernel_size
+        bound = 1 / math.sqrt(fan_in)
+        shape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
+        params = {"kernel": _uniform(k1, shape, bound, dtype)}
+        if self.use_bias:
+            params["bias"] = _uniform(k2, (self.out_channels,), bound, dtype)
+        return params
+
+    def convert_torch_param(self, pname, tensor):
+        if pname == "weight":  # OIK -> KIO
+            return "kernel", tensor.transpose(2, 1, 0)
+        return pname, tensor
+
+    def convert_param_to_torch(self, pname, array):
+        if pname == "kernel":
+            return "weight", array.transpose(2, 1, 0)
+        return pname, array
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        y = jax.lax.conv_general_dilated(
+            x,
+            params["kernel"].astype(x.dtype),
+            window_strides=(self.stride,),
+            padding=self.padding,
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            y = y + params["bias"].astype(x.dtype)
+        return y
+
+
 class GroupNorm(Module):
     """GroupNorm over the channel (last) axis of NHWC/`[..., C]` activations.
     Statistics accumulate in float32 (matches torch's fp32 reduction)."""

@@ -85,6 +85,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLTemporalDecoder": "diffusers_tpu.models.autoencoders.autoencoder_kl_temporal_decoder.AutoencoderKLTemporalDecoder",
     "MochiTransformer3DModel": "diffusers_tpu.models.transformers.transformer_mochi.MochiTransformer3DModel",
     "AutoencoderKLMochi": "diffusers_tpu.models.autoencoders.autoencoder_kl_mochi.AutoencoderKLMochi",
+    "StableAudioDiTModel": "diffusers_tpu.models.transformers.stable_audio_transformer.StableAudioDiTModel",
+    "AutoencoderOobleck": "diffusers_tpu.models.autoencoders.autoencoder_oobleck.AutoencoderOobleck",
+    "StableAudioProjectionModel": "diffusers_tpu.pipelines.stable_audio.modeling_stable_audio.StableAudioProjectionModel",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
