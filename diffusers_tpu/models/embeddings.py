@@ -191,6 +191,66 @@ def apply_rotary_emb(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array) -
     return out.astype(x.dtype)
 
 
+class AttentionPooling(Module):
+    """DeepFloyd-IF attention pooling over token states (reference
+    embeddings.py:1909): class token = mean + learned positional embedding;
+    single-query attention over [class, tokens]."""
+
+    def __init__(self, num_heads: int, embed_dim: int):
+        super().__init__()
+        self.num_heads = num_heads
+        self.embed_dim = embed_dim
+        self.dim_per_head = embed_dim // num_heads
+        self.k_proj = Linear(embed_dim, embed_dim)
+        self.q_proj = Linear(embed_dim, embed_dim)
+        self.v_proj = Linear(embed_dim, embed_dim)
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, 4)
+        return {
+            "positional_embedding": jax.random.normal(keys[0], (1, self.embed_dim), dtype) / self.embed_dim**0.5,
+            "k_proj": self.k_proj.init(keys[1], dtype),
+            "q_proj": self.q_proj.init(keys[2], dtype),
+            "v_proj": self.v_proj.init(keys[3], dtype),
+        }
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        bs, length, width = x.shape
+
+        def shape(t):
+            return jnp.transpose(t.reshape(bs, -1, self.num_heads, self.dim_per_head), (0, 2, 1, 3))
+
+        class_token = jnp.mean(x, axis=1, keepdims=True) + params["positional_embedding"].astype(x.dtype)
+        x = jnp.concatenate([class_token, x], axis=1)
+        q = shape(self.q_proj(params["q_proj"], class_token))
+        k = shape(self.k_proj(params["k_proj"], x))
+        v = shape(self.v_proj(params["v_proj"], x))
+        scale = 1 / math.sqrt(math.sqrt(self.dim_per_head))
+        weight = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k * scale)
+        weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhqk,bhkd->bhqd", weight, v)
+        a = jnp.transpose(a, (0, 2, 1, 3)).reshape(bs, 1, width)
+        return a[:, 0, :]
+
+
+class TextTimeEmbedding(Module):
+    """LN → attention-pool → proj → LN (reference embeddings.py:1831; the
+    DeepFloyd-IF `addition_embed_type=\"text\"` aug embedding)."""
+
+    def __init__(self, encoder_dim: int, time_embed_dim: int, num_heads: int = 64):
+        super().__init__()
+        self.norm1 = LayerNorm(encoder_dim)
+        self.pool = AttentionPooling(num_heads, encoder_dim)
+        self.proj = Linear(encoder_dim, time_embed_dim)
+        self.norm2 = LayerNorm(time_embed_dim)
+
+    def __call__(self, params: Params, hidden_states: jax.Array) -> jax.Array:
+        hidden_states = self.norm1(params["norm1"], hidden_states)
+        hidden_states = self.pool(params["pool"], hidden_states)
+        hidden_states = self.proj(params["proj"], hidden_states)
+        return self.norm2(params["norm2"], hidden_states)
+
+
 class PixArtAlphaTextProjection(Module):
     """Pooled-text MLP projection (reference embeddings.PixArtAlphaTextProjection)."""
 

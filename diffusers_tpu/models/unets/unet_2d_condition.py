@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ...configuration_utils import ConfigMixin, register_to_config
 from ...utils import BaseOutput
 from ...ops.module import Conv2d, Embedding, GroupNorm, Identity, Linear, Module, ModuleList, Params, get_activation
-from ..embeddings import TimestepEmbedding, Timesteps
+from ..embeddings import TextTimeEmbedding, TimestepEmbedding, Timesteps
 from ..modeling_utils import ModelMixin
 from .unet_2d_blocks import get_down_block, get_up_block
 from .unet_2d_condition_blocks import UNetMidBlock2DCrossAttn
@@ -157,7 +157,14 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         else:
             self.class_embedding = None
 
-        if addition_embed_type == "text_time":
+        if addition_embed_type == "text":
+            # DeepFloyd IF: attention-pooled text aug embedding over the RAW
+            # encoder states (reference unet_2d_condition.py:667)
+            text_time_embedding_from_dim = encoder_hid_dim if encoder_hid_dim is not None else cross_attention_dims[0]
+            self.add_embedding = TextTimeEmbedding(
+                text_time_embedding_from_dim, time_embed_dim, num_heads=addition_embed_type_num_heads
+            )
+        elif addition_embed_type == "text_time":
             self.add_time_proj = Timesteps(addition_time_embed_dim, flip_sin_to_cos, freq_shift)
             self.add_embedding = TimestepEmbedding(projection_class_embeddings_input_dim, time_embed_dim)
         elif addition_embed_type == "image":
@@ -324,7 +331,9 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             else:
                 emb = emb + class_emb
 
-        if self.config.addition_embed_type == "image":
+        if self.config.addition_embed_type == "text":
+            emb = emb + self.add_embedding(params["add_embedding"], encoder_hidden_states)
+        elif self.config.addition_embed_type == "image":
             if added_cond_kwargs is None or "image_embeds" not in added_cond_kwargs:
                 raise ValueError("addition_embed_type 'image' requires added_cond_kwargs with image_embeds")
             emb = emb + self.add_embedding(params["add_embedding"], added_cond_kwargs["image_embeds"])
