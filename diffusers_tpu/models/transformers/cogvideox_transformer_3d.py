@@ -66,7 +66,7 @@ class CogVideoXAttention(Module):
     video-only RoPE (reference CogVideoXAttnProcessor2_0)."""
 
     def __init__(self, dim: int, heads: int, dim_head: int, qk_norm: bool = True,
-                 bias: bool = False, out_bias: bool = True):
+                 bias: bool = False, out_bias: bool = True, qk_norm_affine: bool = True):
         super().__init__()
         self.heads = heads
         self.dim_head = dim_head
@@ -75,8 +75,9 @@ class CogVideoXAttention(Module):
         self.to_k = Linear(dim, inner, use_bias=bias)
         self.to_v = Linear(dim, inner, use_bias=bias)
         self.to_out = ModuleList([Linear(inner, dim, use_bias=out_bias)])
-        self.norm_q = LayerNorm(dim_head, eps=1e-6) if qk_norm else None
-        self.norm_k = LayerNorm(dim_head, eps=1e-6) if qk_norm else None
+        aff = qk_norm_affine
+        self.norm_q = LayerNorm(dim_head, eps=1e-6, use_scale=aff, use_bias=aff) if qk_norm else None
+        self.norm_k = LayerNorm(dim_head, eps=1e-6, use_scale=aff, use_bias=aff) if qk_norm else None
 
     def __call__(self, params, hidden_states, encoder_hidden_states, image_rotary_emb=None):
         text_len = encoder_hidden_states.shape[1]
@@ -87,8 +88,8 @@ class CogVideoXAttention(Module):
         k = self.to_k(params["to_k"], joint).reshape(b, s, self.heads, self.dim_head)
         v = self.to_v(params["to_v"], joint).reshape(b, s, self.heads, self.dim_head)
         if self.norm_q is not None:
-            q = self.norm_q(params["norm_q"], q)
-            k = self.norm_k(params["norm_k"], k)
+            q = self.norm_q(params.get("norm_q", {}), q)
+            k = self.norm_k(params.get("norm_k", {}), k)
         if image_rotary_emb is not None:
             cos, sin = image_rotary_emb
             q = jnp.concatenate([q[:, :text_len], apply_rotary_emb(q[:, text_len:], cos, sin)], axis=1)
