@@ -90,6 +90,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "StableAudioProjectionModel": "diffusers_tpu.pipelines.stable_audio.modeling_stable_audio.StableAudioProjectionModel",
     "ChatGLMModel": "diffusers_tpu.pipelines.kolors.text_encoder.ChatGLMModel",
     "CogView3PlusTransformer2DModel": "diffusers_tpu.models.transformers.transformer_cogview3plus.CogView3PlusTransformer2DModel",
+    "LuminaNextDiT2DModel": "diffusers_tpu.models.transformers.lumina_nextdit2d.LuminaNextDiT2DModel",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
