@@ -305,6 +305,58 @@ class Conv1d(Module):
         return y
 
 
+class ConvTranspose2d(Module):
+    """2D transposed convolution over NHWC activations. Kernel stored HWIO in
+    the torch orientation (torch nn.ConvTranspose2d weight [I, O, kH, kW]
+    transposes to [kH, kW, I, O] on load); realized as an lhs-dilated
+    correlation with the kernel flipped spatially."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0, use_bias=True):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
+        self.stride = (stride, stride) if isinstance(stride, int) else tuple(stride)
+        self.padding = (padding, padding) if isinstance(padding, int) else tuple(padding)
+        self.use_bias = use_bias
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        k1, k2 = jax.random.split(key)
+        fan_in = self.in_channels * self.kernel_size[0] * self.kernel_size[1]
+        bound = 1 / math.sqrt(fan_in)
+        shape = (*self.kernel_size, self.in_channels, self.out_channels)
+        params = {"kernel": _uniform(k1, shape, bound, dtype)}
+        if self.use_bias:
+            params["bias"] = _uniform(k2, (self.out_channels,), bound, dtype)
+        return params
+
+    def convert_torch_param(self, pname, tensor):
+        if pname == "weight":  # IOHW -> HWIO
+            return "kernel", tensor.transpose(2, 3, 0, 1)
+        return pname, tensor
+
+    def convert_param_to_torch(self, pname, array):
+        if pname == "kernel":
+            return "weight", array.transpose(2, 3, 0, 1)
+        return pname, array
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        kernel = jnp.flip(params["kernel"].astype(x.dtype), axis=(0, 1))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            y = y + params["bias"].astype(x.dtype)
+        return y
+
+
 class GroupNorm(Module):
     """GroupNorm over the channel (last) axis of NHWC/`[..., C]` activations.
     Statistics accumulate in float32 (matches torch's fp32 reduction)."""
