@@ -23,6 +23,7 @@ _MODEL_REGISTRY = {
     "CogView3PlusTransformer2DModel": "diffusers_tpu.models.transformers.transformer_cogview3plus.CogView3PlusTransformer2DModel",
     "LuminaNextDiT2DModel": "diffusers_tpu.models.transformers.lumina_nextdit2d.LuminaNextDiT2DModel",
     "Kandinsky3UNet": "diffusers_tpu.models.unets.unet_kandinsky3.Kandinsky3UNet",
+    "OmniGenTransformer2DModel": "diffusers_tpu.models.transformers.transformer_omnigen.OmniGenTransformer2DModel",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
