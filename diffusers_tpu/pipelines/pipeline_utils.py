@@ -93,6 +93,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LuminaNextDiT2DModel": "diffusers_tpu.models.transformers.lumina_nextdit2d.LuminaNextDiT2DModel",
     "Kandinsky3UNet": "diffusers_tpu.models.unets.unet_kandinsky3.Kandinsky3UNet",
     "OmniGenTransformer2DModel": "diffusers_tpu.models.transformers.transformer_omnigen.OmniGenTransformer2DModel",
+    "StableCascadeUNet": "diffusers_tpu.models.unets.unet_stable_cascade.StableCascadeUNet",
+    "PaellaVQModel": "diffusers_tpu.models.autoencoders.paella_vq_model.PaellaVQModel",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
