@@ -101,6 +101,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "WanVACETransformer3DModel": "diffusers_tpu.models.transformers.transformer_wan_vace.WanVACETransformer3DModel",
     "SanaVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_sana_video.SanaVideoTransformer3DModel",
     "Flux2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_flux2.Flux2Transformer2DModel",
+    "BriaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria.BriaTransformer2DModel",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
