@@ -569,6 +569,42 @@ class ImageProjection(Module):
         return self.norm(params["norm"], x)
 
 
+class TextImageProjection(Module):
+    """Text + image embeds → joint cross-attention tokens (reference
+    embeddings.py:1488; Kandinsky 2.1 decoder conditioning)."""
+
+    def __init__(self, text_embed_dim: int = 1024, image_embed_dim: int = 768,
+                 cross_attention_dim: int = 768, num_image_text_embeds: int = 10):
+        super().__init__()
+        self.num_image_text_embeds = num_image_text_embeds
+        self.image_embeds = Linear(image_embed_dim, num_image_text_embeds * cross_attention_dim)
+        self.text_proj = Linear(text_embed_dim, cross_attention_dim)
+
+    def __call__(self, params: Params, text_embeds: jax.Array, image_embeds: jax.Array) -> jax.Array:
+        b = text_embeds.shape[0]
+        image_text_embeds = self.image_embeds(params["image_embeds"], image_embeds)
+        image_text_embeds = image_text_embeds.reshape(b, self.num_image_text_embeds, -1)
+        text_embeds = self.text_proj(params["text_proj"], text_embeds)
+        return jnp.concatenate([image_text_embeds, text_embeds], axis=1)
+
+
+class TextImageTimeEmbedding(Module):
+    """Text + image embeds → time-embedding summand (reference
+    embeddings.py:1847; Kandinsky 2.1)."""
+
+    def __init__(self, text_embed_dim: int = 768, image_embed_dim: int = 768,
+                 time_embed_dim: int = 1536):
+        super().__init__()
+        self.text_proj = Linear(text_embed_dim, time_embed_dim)
+        self.text_norm = LayerNorm(time_embed_dim)
+        self.image_proj = Linear(image_embed_dim, time_embed_dim)
+
+    def __call__(self, params: Params, text_embeds: jax.Array, image_embeds: jax.Array) -> jax.Array:
+        time_text = self.text_norm(params["text_norm"], self.text_proj(params["text_proj"], text_embeds))
+        time_image = self.image_proj(params["image_proj"], image_embeds)
+        return time_image + time_text
+
+
 class ImageTimeEmbedding(Module):
     """Image embed → time-embedding summand (reference embeddings.py:1865)."""
 

@@ -131,6 +131,16 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             encoder_hid_dim_type = "text_proj"
         if encoder_hid_dim_type == "text_proj":
             self.encoder_hid_proj = Linear(encoder_hid_dim, cross_attention_dims[0])
+        elif encoder_hid_dim_type == "text_image_proj":
+            # Kandinsky 2.1: text+image embeds → joint cross-attention tokens
+            # (reference unet_2d_condition.py:596)
+            from ..embeddings import TextImageProjection
+
+            self.encoder_hid_proj = TextImageProjection(
+                text_embed_dim=encoder_hid_dim,
+                image_embed_dim=cross_attention_dims[0],
+                cross_attention_dim=cross_attention_dims[0],
+            )
         elif encoder_hid_dim_type == "image_proj":
             # Kandinsky 2.2: image embeds → 32 cross-attention tokens
             from ..embeddings import ImageProjection
@@ -167,6 +177,14 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
         elif addition_embed_type == "text_time":
             self.add_time_proj = Timesteps(addition_time_embed_dim, flip_sin_to_cos, freq_shift)
             self.add_embedding = TimestepEmbedding(projection_class_embeddings_input_dim, time_embed_dim)
+        elif addition_embed_type == "text_image":
+            # Kandinsky 2.1 (reference unet_2d_condition.py:676)
+            from ..embeddings import TextImageTimeEmbedding
+
+            self.add_embedding = TextImageTimeEmbedding(
+                text_embed_dim=cross_attention_dims[0], image_embed_dim=cross_attention_dims[0],
+                time_embed_dim=time_embed_dim,
+            )
         elif addition_embed_type == "image":
             # Kandinsky 2.2
             from ..embeddings import ImageTimeEmbedding
@@ -333,6 +351,13 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
 
         if self.config.addition_embed_type == "text":
             emb = emb + self.add_embedding(params["add_embedding"], encoder_hidden_states)
+        elif self.config.addition_embed_type == "text_image":
+            # Kandinsky 2.1 (reference unet_2d_condition.py:896)
+            if added_cond_kwargs is None or "image_embeds" not in added_cond_kwargs:
+                raise ValueError("addition_embed_type 'text_image' requires added_cond_kwargs with image_embeds")
+            image_embs = added_cond_kwargs["image_embeds"]
+            text_embs = added_cond_kwargs.get("text_embeds", encoder_hidden_states)
+            emb = emb + self.add_embedding(params["add_embedding"], text_embs, image_embs)
         elif self.config.addition_embed_type == "image":
             if added_cond_kwargs is None or "image_embeds" not in added_cond_kwargs:
                 raise ValueError("addition_embed_type 'image' requires added_cond_kwargs with image_embeds")
@@ -362,6 +387,13 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                     raise ValueError("IP-Adapter is loaded: pass added_cond_kwargs={'image_embeds': [...]}")
                 image_embeds = self.encoder_hid_proj(params["encoder_hid_proj"], added_cond_kwargs["image_embeds"])
                 encoder_hidden_states = (encoder_hidden_states, image_embeds)
+            elif self.config.encoder_hid_dim_type == "text_image_proj":
+                # Kandinsky 2.1: joint text+image cross-attention tokens
+                if added_cond_kwargs is None or "image_embeds" not in added_cond_kwargs:
+                    raise ValueError("encoder_hid_dim_type 'text_image_proj' requires added_cond_kwargs with image_embeds")
+                encoder_hidden_states = self.encoder_hid_proj(
+                    params["encoder_hid_proj"], encoder_hidden_states, added_cond_kwargs["image_embeds"]
+                )
             elif self.config.encoder_hid_dim_type == "image_proj":
                 # Kandinsky 2.2: cross-attend to projected image tokens only
                 encoder_hidden_states = self.encoder_hid_proj(

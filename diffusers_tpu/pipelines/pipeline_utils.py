@@ -103,6 +103,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "Flux2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_flux2.Flux2Transformer2DModel",
     "BriaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria.BriaTransformer2DModel",
     "CosmosTransformer3DModel": "diffusers_tpu.models.transformers.transformer_cosmos.CosmosTransformer3DModel",
+    "LDMBertModel": "diffusers_tpu.pipelines.latent_diffusion.pipeline_latent_diffusion.LDMBertModel",
     "AuraFlowTransformer2DModel": "diffusers_tpu.models.transformers.auraflow_transformer_2d.AuraFlowTransformer2DModel",
     "Lumina2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_lumina2.Lumina2Transformer2DModel",
     "ChromaTransformer2DModel": "diffusers_tpu.models.transformers.transformer_chroma.ChromaTransformer2DModel",
