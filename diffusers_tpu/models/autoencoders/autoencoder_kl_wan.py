@@ -346,6 +346,7 @@ class AutoencoderKLWan(Module, ModelMixin, ConfigMixin):
         clip_output: bool = True,
     ):
         super().__init__()
+        self.clip_output = clip_output
         if is_residual or patch_size is not None:
             raise NotImplementedError("Wan 2.2 residual VAE variant not yet supported")
         self.z_dim = z_dim
@@ -387,7 +388,7 @@ class AutoencoderKLWan(Module, ModelMixin, ConfigMixin):
         h = self.post_quant_conv(params["post_quant_conv"], h)
         out = self.decoder(params["decoder"], h)
         out = jnp.transpose(out, (0, 4, 1, 2, 3))
-        if self.config.clip_output:
+        if self.clip_output:
             out = jnp.clip(out, -1.0, 1.0)
         if not return_dict:
             return (out,)

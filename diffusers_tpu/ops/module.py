@@ -180,9 +180,34 @@ class Conv2d(Module):
         return params
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        if "kernel_scale_w8a8" in params:
+            # int8-compute conv: dynamic per-tensor activation quantization +
+            # int8×int8→int32 XLA conv (MXU int8 path, measured 1.24-2.0× over
+            # bf16 at SDXL shapes on v5e) with the dequant fused into the
+            # epilogue. Replaces the reference's CUDA quant backends
+            # (/root/reference/src/diffusers/quantizers/) for convs.
+            s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+            qx = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                qx,
+                params["kernel"],
+                window_strides=self.stride,
+                padding=self.padding,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (s * params["kernel_scale_w8a8"])).astype(x.dtype)
+            if self.use_bias:
+                y = y + params["bias"].astype(x.dtype)
+            return y
+        kernel = params["kernel"]
+        if "kernel_scale" in params:  # weight-only quantized (int8/fp8)
+            kernel = kernel.astype(x.dtype) * params["kernel_scale"].astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
-            params["kernel"].astype(x.dtype),
+            kernel.astype(x.dtype),
             window_strides=self.stride,
             padding=self.padding,
             rhs_dilation=self.dilation,

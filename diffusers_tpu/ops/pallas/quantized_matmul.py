@@ -118,7 +118,7 @@ def w8a8_matmul(
     qw: jax.Array,  # [K, N] int8
     w_scale: jax.Array,  # [N] f32 (per-out-channel)
     bias: Optional[jax.Array] = None,
-    block_m: int = 1024,
+    block_m: int = 512,
     block_n: int = 1024,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
@@ -135,12 +135,12 @@ def w8a8_matmul(
 
     bk = _pick_block(k_dim, block_k, 128)
     bn = _pick_block(n, block_n, 128)
-    # Measured on v5e: the fused kernel wins 1.3-1.7x at DiT-scale shapes
-    # (K, N >= 2048) but loses inside conv-UNet graphs where small layers hit
-    # the kernel-call floor and break XLA's surrounding fusion — gate to the
-    # shapes where int8 compute actually pays (not in interpret mode, where
-    # tests exercise the kernel itself).
-    too_small = not interpret and (k_dim < 2048 or n < 2048)
+    # Measured on v5e (scan-amortized slope timing, round 3): the fused kernel
+    # wins 1.1-1.75x when the contraction is deep enough — K >= 2560, or
+    # K >= 1280 with a wide N — and loses below that (activation-quant pass +
+    # int8 tile underutilization dominate). Gate to the winning region (not in
+    # interpret mode, where tests exercise the kernel itself).
+    too_small = not interpret and not (k_dim >= 2560 or (k_dim >= 1280 and n >= 2560))
     if bk == 0 or bn == 0 or too_small:
         y = x @ (qw.astype(x.dtype) * w_scale.astype(x.dtype)[None, :])
         return y if bias is None else y + bias.astype(y.dtype)

@@ -115,6 +115,11 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "QwenImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_qwenimage.QwenImageTransformer2DModel",
     "PriorTransformer": "diffusers_tpu.models.transformers.prior_transformer.PriorTransformer",
     "MotionAdapter": "diffusers_tpu.models.unets.unet_motion_model.MotionAdapter",
+    "AutoencoderKLQwenImage": "diffusers_tpu.models.autoencoders.autoencoder_kl_qwenimage.AutoencoderKLQwenImage",
+    "AutoencoderKLFlux2": "diffusers_tpu.models.autoencoders.autoencoder_kl_flux2.AutoencoderKLFlux2",
+    "AutoencoderKLMagvit": "diffusers_tpu.models.autoencoders.autoencoder_kl_magvit.AutoencoderKLMagvit",
+    "AutoencoderKLAllegro": "diffusers_tpu.models.autoencoders.autoencoder_kl_allegro.AutoencoderKLAllegro",
+    "AutoencoderKLCosmos": "diffusers_tpu.models.autoencoders.autoencoder_kl_cosmos.AutoencoderKLCosmos",
 }
 
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {

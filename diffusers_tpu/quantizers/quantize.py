@@ -44,16 +44,62 @@ def _quantize_kernel_fp8(kernel: jax.Array):
     return q, scale
 
 
+def _quantize_conv_kernel_int8(kernel: jax.Array):
+    """HWIO (or DHWIO) → int8 kernel + per-out-channel scale (reduce over all
+    non-output axes)."""
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    axes = tuple(range(k.ndim - 1))
+    absmax = jnp.maximum(jnp.max(jnp.abs(k), axis=axes), 1e-8)  # [out]
+    scale = absmax / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _conv_int8_eligible(kernel) -> bool:
+    """Gate convs to the shapes where the int8 XLA conv wins on v5e (measured
+    round 3: 3x3 convs with fan_in>=2560 win 1.24-2.0x; 1x1 convs behave like
+    the matmul gate and lose below K 2560)."""
+    *spatial_io, cin, cout = kernel.shape
+    fan_in = cin * int(np.prod(spatial_io)) if spatial_io else cin
+    return (fan_in >= 2560 or (fan_in >= 1280 and cout >= 2560)) and cout >= 256
+
+
 def quantize_params(params, config: QuantizationConfig, path: str = ""):
-    """Return a new pytree with eligible Linear kernels quantized."""
+    """Return a new pytree with eligible Linear/Conv kernels quantized.
+
+    The whole tree is quantized inside ONE jit (`_quantize_tree_jit`): eager
+    per-leaf dispatch pays ~10-40 ms of device-call latency per layer, which
+    for an SDXL/Flux-size tree is minutes; a single traced graph is one
+    compile + one dispatch."""
+    if path == "" and isinstance(params, dict):
+        return _quantize_tree_jit(params, config)
+    return _quantize_params_traced(params, config, path)
+
+
+def _quantize_tree_jit(params, config):
+    import functools
+
+    return jax.jit(functools.partial(_quantize_params_traced, config=config, path="root"))(params)
+
+
+def _quantize_params_traced(params, config: QuantizationConfig, path: str = ""):
     if isinstance(params, dict):
-        # a Linear leaf-dict has a 2D "kernel" (conv kernels are 4/5-D)
-        if "kernel" in params and not isinstance(params["kernel"], dict) and params["kernel"].ndim == 2:
-            kernel = params["kernel"]
+        kernel = params.get("kernel")
+        is_leaf = kernel is not None and not isinstance(kernel, dict)
+        # a Linear leaf-dict has a 2D "kernel"; Conv2d/Conv3d are 4/5-D HWIO
+        if is_leaf and kernel.ndim == 2:
             skip = any(m in path for m in config.modules_to_not_convert)
             if not skip and kernel.size >= config.min_weight_size:
                 scale_key = "kernel_scale"
                 if isinstance(config, Int8DynamicActConfig):
+                    k_dim, n = kernel.shape
+                    # only mark layers whose shape takes the fused int8 path at
+                    # runtime (same gate as w8a8_matmul) — layers below the gate
+                    # would silently fall back to a *materialized* weight
+                    # dequant per call, which measured 1.7x slower end-to-end
+                    # on the SDXL UNet (round 3)
+                    if not (k_dim >= 2560 or (k_dim >= 1280 and n >= 2560)):
+                        return params
                     q, scale = _quantize_kernel_int8(kernel)
                     scale_key = "kernel_scale_w8a8"  # marks the int8-compute path in Linear
                 elif isinstance(config, Int8WeightOnlyConfig):
@@ -66,6 +112,17 @@ def quantize_params(params, config: QuantizationConfig, path: str = ""):
                 new["kernel"] = q
                 new[scale_key] = scale
                 return new
+            return params
+        if is_leaf and kernel.ndim == 4 and isinstance(config, Int8DynamicActConfig):
+            skip = any(m in path for m in config.modules_to_not_convert)
+            if not skip and kernel.size >= config.min_weight_size and _conv_int8_eligible(kernel):
+                q, scale = _quantize_conv_kernel_int8(kernel)
+                new = dict(params)
+                new["kernel"] = q
+                new["kernel_scale_w8a8"] = scale
+                return new
+            return params
+        if is_leaf:
             return params
         return {
             k: quantize_params(v, config, f"{path}.{k}" if path else str(k)) if isinstance(v, dict) else v
