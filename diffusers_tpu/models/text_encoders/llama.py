@@ -50,16 +50,18 @@ class LlamaRMSNorm(Module):
 
 
 class LlamaAttention(Module):
-    def __init__(self, hidden_size, num_heads, num_kv_heads, head_dim, rope_theta):
+    def __init__(self, hidden_size, num_heads, num_kv_heads, head_dim, rope_theta,
+                 attention_bias: bool = False):
         super().__init__()
         self.num_heads = num_heads
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
         self.scale = head_dim**-0.5
         self.rope_theta = rope_theta
-        self.q_proj = Linear(hidden_size, num_heads * head_dim, use_bias=False)
-        self.k_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=False)
-        self.v_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=False)
+        # Qwen2/Qwen2.5(-VL) towers are Llama with qkv bias (o_proj stays bias-free)
+        self.q_proj = Linear(hidden_size, num_heads * head_dim, use_bias=attention_bias)
+        self.k_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=attention_bias)
+        self.v_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=attention_bias)
         self.o_proj = Linear(num_heads * head_dim, hidden_size, use_bias=False)
 
     def __call__(self, params: Params, x: jax.Array, positions: jax.Array,
@@ -101,9 +103,10 @@ class LlamaMLP(Module):
 
 class LlamaDecoderLayer(Module):
     def __init__(self, hidden_size, intermediate_size, num_heads, num_kv_heads, head_dim,
-                 rms_norm_eps, rope_theta):
+                 rms_norm_eps, rope_theta, attention_bias: bool = False):
         super().__init__()
-        self.self_attn = LlamaAttention(hidden_size, num_heads, num_kv_heads, head_dim, rope_theta)
+        self.self_attn = LlamaAttention(hidden_size, num_heads, num_kv_heads, head_dim, rope_theta,
+                                        attention_bias=attention_bias)
         self.mlp = LlamaMLP(hidden_size, intermediate_size)
         self.input_layernorm = LlamaRMSNorm(hidden_size, rms_norm_eps)
         self.post_attention_layernorm = LlamaRMSNorm(hidden_size, rms_norm_eps)
@@ -193,7 +196,17 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
         for fn in files:
             with safe_open(os.path.join(model_path, fn), framework="numpy") as f:
                 for k in f.keys():
-                    state[k.removeprefix("model.")] = f.get_tensor(k)
+                    # multimodal wrappers (llava / Mistral3) carry a vision
+                    # tower + projector the text trunk doesn't need; newer
+                    # transformers nests the trunk at model.language_model.*
+                    if any(seg in k.split(".")[:3] for seg in ("vision_tower", "visual", "multi_modal_projector")):
+                        continue
+                    # nesting varies by transformers version: model.*,
+                    # model.language_model.*, or language_model.model.*
+                    key = k
+                    while key.startswith(("model.", "language_model.")):
+                        key = key.removeprefix("model.").removeprefix("language_model.")
+                    state[key] = f.get_tensor(k)
         state.pop("lm_head.weight", None)
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
         from ...quantizers.quantize import maybe_quantize

@@ -157,9 +157,20 @@ class AllegroPipeline(DiffusionPipeline):
         if output_type == "latent":
             video = latents
         else:
-            decode = self._jit(
-                "decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample
-            )
+            is_allegro_vae = type(vae).__name__ == "AutoencoderKLAllegro"
+            if is_allegro_vae:
+                # real Allegro VAE decodes to [B, F, C, H, W] (reference
+                # `pipeline_allegro.py:610-611` permutes back to NCFHW)
+                decode = self._jit(
+                    "decode",
+                    lambda p, z: jnp.transpose(
+                        vae.decode(p, z / vae.config.scaling_factor).sample, (0, 2, 1, 3, 4)
+                    ),
+                )
+            else:
+                decode = self._jit(
+                    "decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample
+                )
             video = decode(vae_params, latents)
             video = video[:, :, :num_frames, :height, :width]
             if output_type == "np":

@@ -180,12 +180,18 @@ class Flux2Pipeline(DiffusionPipeline):
             # unpack [B, HW, C] -> [B, C, H, W]
             B, N, C = latents.shape
             latents = jnp.transpose(latents, (0, 2, 1)).reshape(B, C, lh // 2, lw // 2)
-            bn_mean = vae.config.get("latents_mean") if hasattr(vae.config, "get") else None
-            scaling = getattr(vae.config, "scaling_factor", None)
-            shift = getattr(vae.config, "shift_factor", 0.0) or 0.0
-            latents = self._unpatchify_latents(latents)
-            if scaling:
-                latents = latents / scaling + shift
+            if hasattr(vae, "latent_distribution_stats"):
+                # real Flux2 VAE: denormalize patched latents with the BatchNorm
+                # stats (reference pipeline_flux2.py:1018-1022)
+                bn_mean, bn_std = vae.latent_distribution_stats(vae_params)
+                latents = latents * bn_std.reshape(1, -1, 1, 1) + bn_mean.reshape(1, -1, 1, 1)
+                latents = self._unpatchify_latents(latents)
+            else:
+                scaling = getattr(vae.config, "scaling_factor", None)
+                shift = getattr(vae.config, "shift_factor", 0.0) or 0.0
+                latents = self._unpatchify_latents(latents)
+                if scaling:
+                    latents = latents / scaling + shift
             decode = self._jit("decode", lambda p, z: vae.decode(p, z).sample)
             image = decode(vae_params, latents)
             image = self.image_processor.postprocess(image, output_type=output_type)

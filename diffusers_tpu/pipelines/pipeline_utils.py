@@ -131,12 +131,15 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "UMT5EncoderModel": "diffusers_tpu.models.text_encoders.t5.UMT5EncoderModel",
     "Gemma2Model": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
     "Gemma2ForCausalLM": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
+    "Qwen2_5_VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
+    "Qwen2VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
+    "Mistral3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
 }
 
 # loaded via transformers' own from_pretrained (pure-host preprocessing)
 _TOKENIZER_CLASSES = {
     "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
-    "GemmaTokenizer", "GemmaTokenizerFast",
+    "GemmaTokenizer", "GemmaTokenizerFast", "Qwen2Tokenizer", "Qwen2TokenizerFast",
     "CLIPImageProcessor", "CLIPFeatureExtractor",
 }
 

@@ -176,8 +176,8 @@ class QwenImagePipeline(DiffusionPipeline):
                 mean = jnp.asarray(lm).reshape(1, -1, 1, 1)
                 std = jnp.asarray(ls).reshape(1, -1, 1, 1)
                 latents = latents * std + mean
-            if hasattr(vae, "decode") and "scale_factor_temporal" in dict(vae.config):
-                # 3D causal VAE: add a frame axis
+            if "temperal_downsample" in dict(vae.config) or "scale_factor_temporal" in dict(vae.config):
+                # Wan-family 3D causal VAE (incl. AutoencoderKLQwenImage): add a frame axis
                 dec = vae.decode(vae_params, latents[:, :, None]).sample[:, :, 0]
             else:
                 dec = vae.decode(vae_params, latents / vae.config.scaling_factor).sample
