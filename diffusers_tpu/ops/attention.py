@@ -114,8 +114,19 @@ def _ring_attention_backend(query, key, value, attn_mask=None, scale=None, is_ca
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, env.sequence_axis, None, None)
+    key_mask = _as_key_mask(attn_mask, query.shape[0], key.shape[1])
+    if key_mask is not None:
+        fn = shard_map(
+            lambda q, k, v, m: ring_attention(
+                q, k, v, axis_name=env.sequence_axis, scale=scale, key_mask=m, is_causal=is_causal),
+            mesh=env.mesh,
+            in_specs=(spec, spec, spec, P(None, env.sequence_axis)),
+            out_specs=spec,
+            check_vma=False,
+        )
+        return fn(query, key, value, key_mask)
     fn = shard_map(
-        functools.partial(ring_attention, axis_name=env.sequence_axis, scale=scale),
+        functools.partial(ring_attention, axis_name=env.sequence_axis, scale=scale, is_causal=is_causal),
         mesh=env.mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
@@ -137,8 +148,19 @@ def _ulysses_attention_backend(query, key, value, attn_mask=None, scale=None, is
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, env.sequence_axis, None, None)
+    key_mask = _as_key_mask(attn_mask, query.shape[0], key.shape[1])
+    if key_mask is not None:
+        fn = shard_map(
+            lambda q, k, v, m: ulysses_attention(
+                q, k, v, axis_name=env.sequence_axis, scale=scale, key_mask=m, is_causal=is_causal),
+            mesh=env.mesh,
+            in_specs=(spec, spec, spec, P(None, env.sequence_axis)),
+            out_specs=spec,
+            check_vma=False,
+        )
+        return fn(query, key, value, key_mask)
     fn = shard_map(
-        functools.partial(ulysses_attention, axis_name=env.sequence_axis, scale=scale),
+        functools.partial(ulysses_attention, axis_name=env.sequence_axis, scale=scale, is_causal=is_causal),
         mesh=env.mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
@@ -153,14 +175,33 @@ def _get_env():
     return get_parallel_env()
 
 
+def _as_key_mask(attn_mask, batch: int, sk: int):
+    """Canonicalize an attention mask to a per-key validity mask [B, Sk] when
+    possible (the common text-padding case: bool masks shaped [B, Sk],
+    [B, 1, Sk], or [B, 1, 1, Sk]); returns None otherwise."""
+    if attn_mask is None or attn_mask.dtype != jnp.bool_:
+        return None
+    shape = attn_mask.shape
+    if shape[-1] != sk:
+        return None
+    if len(shape) == 2 and shape[0] in (1, batch):
+        km = attn_mask
+    elif len(shape) in (3, 4) and all(dim == 1 for dim in shape[1:-1]) and shape[0] in (1, batch):
+        km = attn_mask.reshape(shape[0], sk)
+    else:
+        return None
+    return jnp.broadcast_to(km, (batch, sk))
+
+
 def _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split: bool) -> bool:
     """Can this call run sequence-parallel? Both q and kv sequences must tile
-    evenly over the sequence axis; masked/causal calls fall back (the
-    reference's "anything" uneven modes are handled by padding at the pipeline
-    layer instead)."""
+    evenly over the sequence axis. Key-validity (text-padding) masks and
+    causal attention shard fine (ring rotates the mask / builds block causal
+    masks — reference handles these via TemplatedRingAnythingAttention,
+    attention_dispatch.py:2460); only general dense masks fall back."""
     if env is None or env.sequence_degree <= 1:
         return False
-    if attn_mask is not None or is_causal:
+    if attn_mask is not None and _as_key_mask(attn_mask, query.shape[0], key.shape[1]) is None:
         return False
     n = env.sequence_degree
     b, s, h, d = query.shape

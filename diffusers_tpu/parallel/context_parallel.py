@@ -27,50 +27,81 @@ from jax import shard_map
 from ..ops.attention import _native_attention
 
 
-def _attention_with_lse(q, k, v, scale):
-    """Blockwise attention returning (out, lse). q/k/v: [B, S, H, D]."""
+def _attention_with_lse(q, k, v, scale, mask=None):
+    """Blockwise attention returning (out, lse). q/k/v: [B, S, H, D].
+    `mask`: optional bool, broadcastable to [B, H, Sq, Sk]; fully-masked rows
+    yield out=0, lse=-inf (safe for the online merge)."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    p = jnp.exp(logits - m_safe)
     l = jnp.sum(p, axis=-1, keepdims=True)
     out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
-    lse = (m + jnp.log(l)).squeeze(-1)  # [B, H, Sq]
+    lse = jnp.where(l <= 0.0, -jnp.inf, m_safe + jnp.log(jnp.maximum(l, 1e-30))).squeeze(-1)  # [B, H, Sq]
     # out is unnormalized-by-l; normalize here, merge uses lse
-    out = out / jnp.transpose(l, (0, 2, 1, 3)).astype(out.dtype)
+    l_safe = jnp.maximum(jnp.transpose(l, (0, 2, 1, 3)), 1e-30)
+    out = out / l_safe.astype(out.dtype)
     return out, lse
 
 
-def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str, scale: Optional[float] = None):
+def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str, scale: Optional[float] = None,
+                   key_mask: Optional[jax.Array] = None, is_causal: bool = False):
     """Ring attention inside shard_map: KV shards rotate around the ring; each
     step's partial output merges via the online log-sum-exp recurrence
-    (reference TemplatedRingAttention fwd, attention_dispatch.py:2246-2310)."""
+    (reference TemplatedRingAttention fwd, attention_dispatch.py:2246-2310).
+
+    `key_mask`: local [B, Sk_local] bool key-validity shard (text-padding
+    masks) — rotated around the ring with its K/V chunk. `is_causal` builds
+    the per-step chunk-vs-chunk causal block mask from the ring topology
+    (the reference handles these via TemplatedRing*Anything*Attention,
+    attention_dispatch.py:2460)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    my = jax.lax.axis_index(axis_name)
+    sq, sk = q.shape[1], k.shape[1]
 
-    def step(carry, _):
-        out, lse, k_cur, v_cur = carry
-        o_i, lse_i = _attention_with_lse(q, k_cur, v_cur, scale)
+    def step(carry, t):
+        out, lse, k_cur, v_cur, m_cur = carry
+        mask = None
+        if m_cur is not None:
+            mask = m_cur[:, None, None, :]  # [B,1,1,Sk]
+        if is_causal:
+            # after t rotations this rank holds the chunk of rank (my - t) mod n
+            src = jnp.mod(my - t, n)
+            q_pos = my * sq + jnp.arange(sq)
+            k_pos = src * sk + jnp.arange(sk)
+            causal = (q_pos[:, None] >= k_pos[None, :])[None, None]
+            mask = causal if mask is None else (mask & causal)
+        o_i, lse_i = _attention_with_lse(q, k_cur, v_cur, scale, mask=mask)
         new_lse = jnp.logaddexp(lse, lse_i)
-        w_old = jnp.exp(lse - new_lse)[..., None].transpose(0, 2, 1, 3)  # [B,Sq,H,1]
-        w_new = jnp.exp(lse_i - new_lse)[..., None].transpose(0, 2, 1, 3)
+        w_old = jnp.where(jnp.isneginf(lse), 0.0, jnp.exp(lse - jnp.where(jnp.isneginf(new_lse), 0.0, new_lse)))
+        w_new = jnp.where(jnp.isneginf(lse_i), 0.0, jnp.exp(lse_i - jnp.where(jnp.isneginf(new_lse), 0.0, new_lse)))
+        w_old = w_old[..., None].transpose(0, 2, 1, 3)  # [B,Sq,H,1]
+        w_new = w_new[..., None].transpose(0, 2, 1, 3)
         out = out * w_old.astype(out.dtype) + o_i * w_new.astype(out.dtype)
         k_next = jax.lax.ppermute(k_cur, axis_name, perm)
         v_next = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (out, new_lse, k_next, v_next), None
+        m_next = jax.lax.ppermute(m_cur, axis_name, perm) if m_cur is not None else None
+        return (out, new_lse, k_next, v_next, m_next), None
 
     out0 = jnp.zeros_like(q)
     lse0 = jnp.full((q.shape[0], q.shape[2], q.shape[1]), -jnp.inf, dtype=jnp.float32)
-    (out, lse, _, _), _ = jax.lax.scan(step, (out0, lse0, k, v), None, length=n)
+    (out, lse, _, _, _), _ = jax.lax.scan(step, (out0, lse0, k, v, key_mask), jnp.arange(n))
     return out
 
 
-def ulysses_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str, scale: Optional[float] = None):
+def ulysses_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str, scale: Optional[float] = None,
+                      key_mask: Optional[jax.Array] = None, is_causal: bool = False):
     """Ulysses/DeepSpeed-SP attention inside shard_map: all-to-all scatters
     heads and gathers sequence, full attention runs locally on full sequence
     with H/n heads, inverse all-to-all restores the layout (reference
-    TemplatedUlyssesAttention, attention_dispatch.py:2359; SeqAllToAllDim `:2001`)."""
+    TemplatedUlyssesAttention, attention_dispatch.py:2359; SeqAllToAllDim `:2001`).
+    `key_mask`: local [B, Sk_local] bool shard, all-gathered to the full key
+    mask before the local full-sequence attention."""
     n = jax.lax.psum(1, axis_name)
 
     def scatter_heads(x):  # [B, S/n, H, D] -> [B, S, H/n, D]
@@ -82,7 +113,11 @@ def ulysses_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str, 
     q_full = scatter_heads(q)
     k_full = scatter_heads(k)
     v_full = scatter_heads(v)
-    out = _native_attention(q_full, k_full, v_full, scale=scale)
+    mask = None
+    if key_mask is not None:
+        full_mask = jax.lax.all_gather(key_mask, axis_name, axis=1, tiled=True)  # [B, Sk]
+        mask = full_mask[:, None, None, :]
+    out = _native_attention(q_full, k_full, v_full, attn_mask=mask, scale=scale, is_causal=is_causal)
     return gather_heads(out)
 
 

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configuration_utils import ConfigMixin, FrozenDict
 from ..loaders.lora import PipelineLoraMixin
@@ -32,6 +33,9 @@ from ..version_info import __version__
 logger = logging.get_logger(__name__)
 
 PIPELINE_CONFIG_NAME = "model_index.json"
+
+# plan-less components above this size trigger a replication warning under TP
+_TP_REPLICATE_WARN_PARAMS = 100_000_000
 
 # Maps (library, class_name) from model_index.json → our loader.
 # The reference dispatches through LOADABLE_CLASSES (pipeline_loading_utils.py:86).
@@ -351,6 +355,17 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
             if plan is not None:
                 params = shard_params(mesh, params, plan)
             else:
+                if config.tensor_degree > 1:
+                    n_params = sum(
+                        int(np.prod(x.shape)) for x in jax.tree.leaves(params) if hasattr(x, "shape")
+                    )
+                    if n_params > _TP_REPLICATE_WARN_PARAMS:
+                        logger.warning(
+                            f"enable_parallelism: component '{name}' ({type(model).__name__}, "
+                            f"{n_params/1e9:.2f}B params) has no TP plan and will be fully "
+                            f"REPLICATED on every device — at scale this is an OOM, not "
+                            f"parallelism. Register a plan in parallel/plans.py."
+                        )
                 params = jax.tree.map(lambda x: jax.device_put(x, replicated), params)
             setattr(self, name, (model, params))
         self._parallel_env = env
