@@ -64,15 +64,16 @@ class CogVideoXPipeline(DiffusionPipeline):
         negative_embeds = self._get_t5_prompt_embeds(negative_prompt, max_sequence_length)
         return prompt_embeds, negative_embeds
 
+    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+
     def _denoise(self, t_params, latents, prompt_embeds, negative_embeds, rope, state,
                  guidance_scale, use_dynamic_cfg, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         num_steps = state.timesteps.shape[0]
+        from ...hooks.generic_cache import denoise_scan
 
-        def step_fn(carry, xs):
-            latents, sstate = carry
-            t, idx = xs
+        def forward(latents, t, sstate):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
             latent_input = scheduler.scale_model_input(sstate, latent_input, t)
             embeds = (
@@ -93,12 +94,10 @@ class CogVideoXPipeline(DiffusionPipeline):
                     g = 1.0 + (guidance_scale - 1.0) * ((1.0 - jnp.cos(jnp.pi * ratio)) / 2.0)
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + g * (text - uncond)
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
+            return noise_pred
 
-        xs = (state.timesteps, jnp.arange(num_steps))
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), xs)
-        return latents
+        return denoise_scan(forward, scheduler, latents, state, state.timesteps,
+                            getattr(self, "_cache_config", None))
 
     def __call__(
         self,

@@ -34,6 +34,11 @@ class FluxPipelineOutput(BaseOutput):
 
 
 class FluxPipeline(DiffusionPipeline):
+    _supported_cache_configs = (
+        "TaylorSeerCacheConfig", "FirstBlockCacheConfig", "PyramidAttentionBroadcastConfig",
+        "MagCacheConfig", "TextKVCacheConfig",
+    )
+
     _optional_components = ["image_encoder", "feature_extractor"]
 
     def __init__(
@@ -155,7 +160,9 @@ class FluxPipeline(DiffusionPipeline):
                 image_rotary_emb=(rope_cos, rope_sin),
             ).sample
 
-        if cache_cfg is None:
+        from ...hooks.generic_cache import TextKVCacheConfig
+
+        if cache_cfg is None or isinstance(cache_cfg, TextKVCacheConfig):
             def step_fn(carry, t):
                 latents, sstate = carry
                 noise_pred = forward(latents, t)

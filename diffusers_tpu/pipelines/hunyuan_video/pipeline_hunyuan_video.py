@@ -93,14 +93,16 @@ class HunyuanVideoPipeline(DiffusionPipeline):
         pooled = self._get_clip_prompt_embeds(prompt_2)
         return prompt_embeds, pooled, prompt_mask
 
+    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+
     def _denoise(self, t_params, latents, prompt_embeds, prompt_mask, pooled, guidance,
                  neg_embeds, neg_mask, neg_pooled, rope_cos, rope_sin, timesteps, state,
                  true_cfg_scale, do_true_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        from ...hooks.generic_cache import denoise_scan
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        def forward(latents, t, sstate):
             timestep = jnp.broadcast_to(t, (latents.shape[0],))
             noise_pred = transformer(
                 t_params, latents, timestep, prompt_embeds, prompt_mask, pooled,
@@ -112,11 +114,10 @@ class HunyuanVideoPipeline(DiffusionPipeline):
                     guidance=guidance, image_rotary_emb=(rope_cos, rope_sin),
                 ).sample
                 noise_pred = neg_pred + true_cfg_scale * (noise_pred - neg_pred)
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
+            return noise_pred
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
-        return latents
+        return denoise_scan(forward, scheduler, latents, state, timesteps,
+                            getattr(self, "_cache_config", None))
 
     def __call__(
         self,

@@ -95,13 +95,15 @@ class LTXPipeline(DiffusionPipeline):
         return latents * std / scaling_factor + mean
 
     # ------------------------------------------------------------- denoise
+    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+
     def _denoise(self, t_params, latents, prompt_embeds, prompt_mask, rope_cos, rope_sin,
                  timesteps, state, guidance_scale, guidance_rescale, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        from ...hooks.generic_cache import denoise_scan
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        def forward(latents, t, sstate):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
             timestep = jnp.broadcast_to(t, (latent_input.shape[0],))
             noise_pred = transformer(
@@ -117,11 +119,10 @@ class LTXPipeline(DiffusionPipeline):
                 noise_pred = uncond + guidance_scale * (text - uncond)
                 if guidance_rescale > 0:
                     noise_pred = rescale_noise_cfg(noise_pred, text, guidance_rescale)
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
+            return noise_pred
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
-        return latents
+        return denoise_scan(forward, scheduler, latents, state, timesteps,
+                            getattr(self, "_cache_config", None))
 
     # ------------------------------------------------------------ __call__
     def __call__(

@@ -95,13 +95,15 @@ class MochiPipeline(DiffusionPipeline):
         return prompt_embeds, prompt_mask, neg_embeds, neg_mask
 
     # ------------------------------------------------------------ denoise
+    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+
     def _denoise(self, t_params, latents, prompt_embeds, prompt_mask, timesteps, state,
                  guidance_scale, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        from ...hooks.generic_cache import denoise_scan
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        def forward(latents, t, sstate):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
             timestep = jnp.broadcast_to(t, (latent_input.shape[0],)).astype(latents.dtype)
             noise_pred = transformer(
@@ -110,11 +112,11 @@ class MochiPipeline(DiffusionPipeline):
             if do_cfg:
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_scale * (text - uncond)
-            out = scheduler.step(sstate, noise_pred, t, latents.astype(jnp.float32))
-            return (out.prev_sample, out.state), None
+            return noise_pred
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
-        return latents
+        latents = latents.astype(jnp.float32)
+        return denoise_scan(forward, scheduler, latents, state, timesteps,
+                            getattr(self, "_cache_config", None))
 
     # ------------------------------------------------------------ __call__
     def __call__(

@@ -32,6 +32,10 @@ class StableDiffusionXLPipelineOutput(BaseOutput):
 
 
 class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
+    _supported_cache_configs = (
+        "FasterCacheConfig", "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig",
+    )
+
     _optional_components = ["image_encoder", "feature_extractor"]
 
     def __init__(
@@ -128,8 +132,9 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
                     guidance_scale, state, cache_cfg, fc_sched,
                 )
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        from ...hooks.generic_cache import denoise_scan
+
+        def forward(latents, t, sstate):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
             latent_input = scheduler.scale_model_input(sstate, latent_input, t)
             noise_pred = unet(
@@ -145,11 +150,12 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
             if do_cfg:
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_scale * (text - uncond)
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
+            return noise_pred
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), state.timesteps)
-        return latents
+        # FasterCache took the dedicated branch above; the generic scan honors
+        # TaylorSeer/MagCache/TextKV (hooks/generic_cache.py)
+        generic_cfg = None if cache_cfg is not None and type(cache_cfg).__name__ == "FasterCacheConfig" else cache_cfg
+        return denoise_scan(forward, scheduler, latents, state, state.timesteps, generic_cfg)
 
     def _denoise_faster_cache(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids,
                               latents, guidance_scale, state, cache_cfg, fc_sched):

@@ -66,13 +66,15 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
         negative_embeds = self._get_t5_prompt_embeds(negative_prompt, max_sequence_length)
         return prompt_embeds, negative_embeds
 
+    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+
     def _denoise(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
                  timesteps, state, guidance_scale, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        from ...hooks.generic_cache import denoise_scan
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        def forward(latents, t, sstate):
             timestep = jnp.broadcast_to(t, (latents.shape[0],))
             noise_cond = transformer(
                 t_params, latents, timestep, prompt_embeds, rotary_emb=(rope_cos, rope_sin)
@@ -81,14 +83,11 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
                 noise_uncond = transformer(
                     t_params, latents, timestep, negative_embeds, rotary_emb=(rope_cos, rope_sin)
                 ).sample
-                noise_pred = noise_uncond + guidance_scale * (noise_cond - noise_uncond)
-            else:
-                noise_pred = noise_cond
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
+                return noise_uncond + guidance_scale * (noise_cond - noise_uncond)
+            return noise_cond
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
-        return latents
+        return denoise_scan(forward, scheduler, latents, state, timesteps,
+                            getattr(self, "_cache_config", None))
 
     def __call__(
         self,

@@ -79,10 +79,9 @@ def test_flux_fbc_cache_runs_and_close_to_uncached():
 
 def test_unknown_cache_config_raises():
     pipe = get_dummy_pipeline()
-    pipe.enable_cache(("not", "a", "config"))
-    with pytest.raises(ValueError):
-        _run(pipe, steps=1)
-    pipe.disable_cache()
+    # round 3: enable_cache itself validates against _supported_cache_configs
+    with pytest.raises(TypeError):
+        pipe.enable_cache(("not", "a", "config"))
 
 
 def test_sdxl_faster_cache_close_to_uncached():
