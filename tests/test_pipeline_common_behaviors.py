@@ -75,3 +75,88 @@ class TestLTXCommon(PipelineTesterMixin):
             num_inference_steps=2, guidance_scale=3.0, output_type="np",
             key=jax.random.PRNGKey(0),
         )
+
+
+class TestHunyuanVideoCommon(PipelineTesterMixin):
+    output_attr = "frames"
+    cfg_param = None  # distilled guidance; no on/off CFG surface
+
+    def get_pipeline(self):
+        from tests.test_pipeline_hunyuan_video import get_dummy_pipeline
+
+        return get_dummy_pipeline()
+
+    def call_kwargs(self):
+        from tests.test_pipeline_hunyuan_video import TEMPLATE
+
+        return dict(
+            prompt="a neon fox", height=16, width=16, num_frames=5,
+            num_inference_steps=2, guidance_scale=6.0, prompt_template=TEMPLATE,
+            max_sequence_length=8, output_type="np", key=jax.random.PRNGKey(0),
+        )
+
+
+class TestCogVideoXCommon(PipelineTesterMixin):
+    output_attr = "frames"
+
+    def get_pipeline(self):
+        from tests.test_pipeline_cogvideox import get_dummy_pipeline
+
+        return get_dummy_pipeline()
+
+    def call_kwargs(self):
+        return dict(
+            prompt="a paper crane", height=16, width=16, num_frames=5,
+            num_inference_steps=2, guidance_scale=6.0, output_type="np",
+            key=jax.random.PRNGKey(0),
+        )
+
+
+class TestPixArtCommon(PipelineTesterMixin):
+    def get_pipeline(self):
+        from tests.test_pipeline_pixart import get_dummy_pipeline
+
+        return get_dummy_pipeline()
+
+    def call_kwargs(self):
+        return dict(
+            prompt="a copper kite", height=8, width=8, num_inference_steps=2,
+            guidance_scale=4.0, output_type="np", key=jax.random.PRNGKey(0),
+        )
+
+
+class TestAnimateDiffCommon(PipelineTesterMixin):
+    output_attr = "frames"
+
+    def get_pipeline(self):
+        from tests.test_pipeline_animatediff import get_dummy_pipeline
+
+        return get_dummy_pipeline()
+
+    def call_kwargs(self):
+        return dict(
+            prompt="a wooden train", height=16, width=16, num_frames=4,
+            num_inference_steps=2, guidance_scale=6.0, output_type="np",
+            key=jax.random.PRNGKey(0),
+        )
+
+
+class TestSVDCommon(PipelineTesterMixin):
+    output_attr = "frames"
+    batch_param = "image"
+    supports_batch_consistency = False
+    cfg_param = None
+
+    def get_pipeline(self):
+        from tests.test_pipeline_svd import get_dummy_pipeline
+
+        return get_dummy_pipeline()
+
+    def call_kwargs(self):
+        import numpy as _np
+
+        image = _np.zeros((1, 3, 16, 16), dtype=_np.float32)
+        return dict(
+            image=image, height=16, width=16, num_frames=4,
+            num_inference_steps=2, output_type="np", key=jax.random.PRNGKey(0),
+        )
