@@ -88,12 +88,78 @@ def _kohya_path(base: str) -> str:
     return prefix + rest
 
 
+def convert_xlabs_flux_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """xlabs Flux LoRA naming → diffusers/peft naming (reference
+    `loaders/lora_conversion_utils.py:951` _convert_xlabs_flux_lora_to_diffusers).
+
+    xlabs keys: ``double_blocks.<i>.processor.{qkv_lora1,qkv_lora2,proj_lora1,
+    proj_lora2}.{down,up}.weight`` (+ ``single_blocks.<i>.processor.
+    {qkv_lora,proj_lora}``). Fused qkv LoRAs are split: the shared down (A)
+    weight is copied to q/k/v; the up (B) weight is row-split."""
+    sd = dict(state_dict)
+    out: Dict[str, np.ndarray] = {}
+
+    def handle_qkv(down_key, targets):
+        down = sd.pop(down_key)
+        up = sd.pop(down_key.replace(".down.weight", ".up.weight"))
+        dims = up.shape[0] // len(targets)
+        for j, tgt in enumerate(targets):
+            out[tgt + ".lora_A.weight"] = down
+            out[tgt + ".lora_B.weight"] = up[j * dims:(j + 1) * dims]
+
+    for key in list(sd.keys()):
+        if key not in sd:
+            continue
+        k = key.removeprefix("diffusion_model.")
+        m = re.search(r"double_blocks\.(\d+)", k)
+        ms = re.search(r"single_blocks\.(\d+)", k)
+        if m:
+            blk = f"transformer.transformer_blocks.{m.group(1)}"
+            if "processor.qkv_lora1" in k:
+                if k.endswith(".down.weight"):
+                    handle_qkv(key, [f"{blk}.attn.to_q", f"{blk}.attn.to_k", f"{blk}.attn.to_v"])
+                continue
+            if "processor.qkv_lora2" in k:
+                if k.endswith(".down.weight"):
+                    handle_qkv(key, [f"{blk}.attn.add_q_proj", f"{blk}.attn.add_k_proj", f"{blk}.attn.add_v_proj"])
+                continue
+            if "processor.proj_lora1" in k:
+                tgt = f"{blk}.attn.to_out.0"
+            elif "processor.proj_lora2" in k:
+                tgt = f"{blk}.attn.to_add_out"
+            else:
+                out[key] = sd.pop(key)
+                continue
+            suffix = ".lora_A.weight" if k.endswith(".down.weight") else ".lora_B.weight"
+            out[tgt + suffix] = sd.pop(key)
+        elif ms:
+            blk = f"transformer.single_transformer_blocks.{ms.group(1)}"
+            if "qkv_lora" in k:
+                if k.endswith(".down.weight"):
+                    handle_qkv(key, [f"{blk}.attn.to_q", f"{blk}.attn.to_k", f"{blk}.attn.to_v"])
+                continue
+            if "proj_lora" in k:
+                suffix = ".lora_A.weight" if k.endswith(".down.weight") else ".lora_B.weight"
+                out[f"{blk}.proj_out" + suffix] = sd.pop(key)
+            else:
+                out[key] = sd.pop(key)
+        else:
+            out[key] = sd.pop(key)
+    return out
+
+
+def _is_xlabs_lora(state_dict) -> bool:
+    return any(".processor." in k and (".down.weight" in k or ".up.weight" in k) for k in state_dict)
+
+
 def group_lora_weights(
     state_dict: Dict[str, np.ndarray], component: Optional[str] = None
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[float]]]:
     """Group flat lora keys into {module_path: (A, B, alpha)}; filters to the
     given component prefix (e.g. 'unet', 'transformer')."""
-    if any(".lora_down." in k or ".lora_up." in k for k in state_dict):
+    if _is_xlabs_lora(state_dict):
+        state_dict = convert_xlabs_flux_lora(state_dict)
+    elif any(".lora_down." in k or ".lora_up." in k for k in state_dict):
         state_dict = convert_kohya_lora(state_dict)
 
     grouped: Dict[str, dict] = {}

@@ -223,3 +223,139 @@ def load_single_file_checkpoint(path: str) -> Dict[str, np.ndarray]:
                 sd[k] = f.get_tensor(k)
         return sd
     raise ValueError("only .safetensors single-file checkpoints are supported (no pickle)")
+
+
+# ---------------------------------------------------------------------------
+# Flux original (BFL) layout → diffusers keys (reference single_file_utils.py
+# convert_flux_transformer_checkpoint_to_diffusers, :2255)
+# ---------------------------------------------------------------------------
+
+
+def convert_flux_transformer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """BFL Flux keys (double_blocks/single_blocks/img_in/txt_in/time_in/
+    vector_in/guidance_in/final_layer) → diffusers FluxTransformer2DModel keys."""
+    ckpt = {k.replace("model.diffusion_model.", ""): v for k, v in sd.items()}
+    out: Dict[str, np.ndarray] = {}
+    num_layers = max((int(k.split(".", 2)[1]) for k in ckpt if k.startswith("double_blocks.")), default=-1) + 1
+    num_single = max((int(k.split(".", 2)[1]) for k in ckpt if k.startswith("single_blocks.")), default=-1) + 1
+    inner_dim = ckpt["img_in.weight"].shape[0]
+    mlp_hidden = int(inner_dim * 4.0)
+
+    def swap_scale_shift(w):
+        shift, scale = np.split(w, 2, axis=0)
+        return np.concatenate([scale, shift], axis=0)
+
+    simple = {
+        "time_text_embed.timestep_embedder.linear_1": "time_in.in_layer",
+        "time_text_embed.timestep_embedder.linear_2": "time_in.out_layer",
+        "time_text_embed.text_embedder.linear_1": "vector_in.in_layer",
+        "time_text_embed.text_embedder.linear_2": "vector_in.out_layer",
+        "context_embedder": "txt_in",
+        "x_embedder": "img_in",
+        "proj_out": "final_layer.linear",
+    }
+    if any("guidance_in" in k for k in ckpt):
+        simple["time_text_embed.guidance_embedder.linear_1"] = "guidance_in.in_layer"
+        simple["time_text_embed.guidance_embedder.linear_2"] = "guidance_in.out_layer"
+    for dst, src in simple.items():
+        out[f"{dst}.weight"] = ckpt.pop(f"{src}.weight")
+        out[f"{dst}.bias"] = ckpt.pop(f"{src}.bias")
+    out["norm_out.linear.weight"] = swap_scale_shift(ckpt.pop("final_layer.adaLN_modulation.1.weight"))
+    out["norm_out.linear.bias"] = swap_scale_shift(ckpt.pop("final_layer.adaLN_modulation.1.bias"))
+
+    for i in range(num_layers):
+        p = f"transformer_blocks.{i}."
+        s = f"double_blocks.{i}."
+        out[f"{p}norm1.linear.weight"] = ckpt.pop(f"{s}img_mod.lin.weight")
+        out[f"{p}norm1.linear.bias"] = ckpt.pop(f"{s}img_mod.lin.bias")
+        out[f"{p}norm1_context.linear.weight"] = ckpt.pop(f"{s}txt_mod.lin.weight")
+        out[f"{p}norm1_context.linear.bias"] = ckpt.pop(f"{s}txt_mod.lin.bias")
+        for kind, names in (
+            ("img_attn", ("to_q", "to_k", "to_v")),
+            ("txt_attn", ("add_q_proj", "add_k_proj", "add_v_proj")),
+        ):
+            qkv_w = np.split(ckpt.pop(f"{s}{kind}.qkv.weight"), 3, axis=0)
+            qkv_b = np.split(ckpt.pop(f"{s}{kind}.qkv.bias"), 3, axis=0)
+            for j, n in enumerate(names):
+                out[f"{p}attn.{n}.weight"] = qkv_w[j]
+                out[f"{p}attn.{n}.bias"] = qkv_b[j]
+        out[f"{p}attn.norm_q.weight"] = ckpt.pop(f"{s}img_attn.norm.query_norm.scale")
+        out[f"{p}attn.norm_k.weight"] = ckpt.pop(f"{s}img_attn.norm.key_norm.scale")
+        out[f"{p}attn.norm_added_q.weight"] = ckpt.pop(f"{s}txt_attn.norm.query_norm.scale")
+        out[f"{p}attn.norm_added_k.weight"] = ckpt.pop(f"{s}txt_attn.norm.key_norm.scale")
+        out[f"{p}ff.net.0.proj.weight"] = ckpt.pop(f"{s}img_mlp.0.weight")
+        out[f"{p}ff.net.0.proj.bias"] = ckpt.pop(f"{s}img_mlp.0.bias")
+        out[f"{p}ff.net.2.weight"] = ckpt.pop(f"{s}img_mlp.2.weight")
+        out[f"{p}ff.net.2.bias"] = ckpt.pop(f"{s}img_mlp.2.bias")
+        out[f"{p}ff_context.net.0.proj.weight"] = ckpt.pop(f"{s}txt_mlp.0.weight")
+        out[f"{p}ff_context.net.0.proj.bias"] = ckpt.pop(f"{s}txt_mlp.0.bias")
+        out[f"{p}ff_context.net.2.weight"] = ckpt.pop(f"{s}txt_mlp.2.weight")
+        out[f"{p}ff_context.net.2.bias"] = ckpt.pop(f"{s}txt_mlp.2.bias")
+        out[f"{p}attn.to_out.0.weight"] = ckpt.pop(f"{s}img_attn.proj.weight")
+        out[f"{p}attn.to_out.0.bias"] = ckpt.pop(f"{s}img_attn.proj.bias")
+        out[f"{p}attn.to_add_out.weight"] = ckpt.pop(f"{s}txt_attn.proj.weight")
+        out[f"{p}attn.to_add_out.bias"] = ckpt.pop(f"{s}txt_attn.proj.bias")
+
+    for i in range(num_single):
+        p = f"single_transformer_blocks.{i}."
+        s = f"single_blocks.{i}."
+        out[f"{p}norm.linear.weight"] = ckpt.pop(f"{s}modulation.lin.weight")
+        out[f"{p}norm.linear.bias"] = ckpt.pop(f"{s}modulation.lin.bias")
+        splits = [inner_dim, 2 * inner_dim, 3 * inner_dim]
+        q, k, v, mlp = np.split(ckpt.pop(f"{s}linear1.weight"), splits, axis=0)
+        qb, kb, vb, mlpb = np.split(ckpt.pop(f"{s}linear1.bias"), splits, axis=0)
+        out[f"{p}attn.to_q.weight"], out[f"{p}attn.to_q.bias"] = q, qb
+        out[f"{p}attn.to_k.weight"], out[f"{p}attn.to_k.bias"] = k, kb
+        out[f"{p}attn.to_v.weight"], out[f"{p}attn.to_v.bias"] = v, vb
+        out[f"{p}proj_mlp.weight"], out[f"{p}proj_mlp.bias"] = mlp, mlpb
+        out[f"{p}attn.norm_q.weight"] = ckpt.pop(f"{s}norm.query_norm.scale")
+        out[f"{p}attn.norm_k.weight"] = ckpt.pop(f"{s}norm.key_norm.scale")
+        out[f"{p}proj_out.weight"] = ckpt.pop(f"{s}linear2.weight")
+        out[f"{p}proj_out.bias"] = ckpt.pop(f"{s}linear2.bias")
+    return out
+
+
+def is_flux_single_file(sd: Dict[str, np.ndarray]) -> bool:
+    return any(k.startswith(("double_blocks.", "model.diffusion_model.double_blocks.")) for k in sd)
+
+
+def load_flux_transformer_single_file(path_or_state_dict, config_overrides: Optional[dict] = None,
+                                      dtype=None):
+    """Load a BFL-layout Flux single-file checkpoint into a
+    (FluxTransformer2DModel, params) pair (reference FromOriginalModelMixin,
+    `loaders/single_file_model.py`; key map `single_file_utils.py:2255`).
+    Config (layer counts, dims, guidance) is inferred from the state dict."""
+    from ..models.modeling_utils import convert_torch_state_dict
+    from ..models.transformers.transformer_flux import FluxTransformer2DModel
+    from ..utils.jax_utils import resolve_dtype
+
+    sd = path_or_state_dict
+    if not isinstance(sd, dict):
+        sd = load_single_file_checkpoint(str(sd))
+    converted = convert_flux_transformer_state_dict(sd)
+
+    inner_dim = converted["x_embedder.weight"].shape[0]
+    in_channels = converted["x_embedder.weight"].shape[1]
+    joint_dim = converted["context_embedder.weight"].shape[1]
+    pooled_dim = converted["time_text_embed.text_embedder.linear_1.weight"].shape[1]
+    num_layers = max((int(k.split(".")[1]) for k in converted if k.startswith("transformer_blocks.")), default=-1) + 1
+    num_single = max(
+        (int(k.split(".")[1]) for k in converted if k.startswith("single_transformer_blocks.")), default=-1) + 1
+    head_dim = converted["transformer_blocks.0.attn.norm_q.weight"].shape[0] if num_layers else 128
+    cfg = dict(
+        patch_size=1,
+        in_channels=in_channels,
+        num_layers=num_layers,
+        num_single_layers=num_single,
+        attention_head_dim=head_dim,
+        num_attention_heads=inner_dim // head_dim,
+        joint_attention_dim=joint_dim,
+        pooled_projection_dim=pooled_dim,
+        guidance_embeds=any(k.startswith("time_text_embed.guidance_embedder") for k in converted),
+    )
+    cfg.update(config_overrides or {})
+    model = FluxTransformer2DModel(**cfg)
+    from ..utils.jax_utils import resolve_dtype as _rd
+
+    params = convert_torch_state_dict(model, converted, dtype=resolve_dtype(dtype, default=None))
+    return model, params
