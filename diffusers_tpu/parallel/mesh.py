@@ -72,6 +72,49 @@ def create_mesh(
     return Mesh(device_array, axis_names)
 
 
+def initialize_multi_host(coordinator_address: Optional[str] = None,
+                          num_processes: Optional[int] = None,
+                          process_id: Optional[int] = None) -> int:
+    """Multi-host bootstrap: `jax.distributed.initialize` (the TPU-native
+    analogue of the reference's NCCL/torch.distributed process-group init,
+    SURVEY §2.9 comm-backend row). On Cloud TPU pods all arguments are
+    auto-detected from the metadata server; on other clusters pass them
+    explicitly (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID). Returns the number of processes. Idempotent."""
+    if jax.process_count() > 1 or getattr(jax.distributed, "_initialized", False):
+        return jax.process_count()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:  # single-process / already initialized
+        if num_processes not in (None, 1):
+            raise
+        from ..utils import logging as _logging
+
+        _logging.get_logger(__name__).debug(f"jax.distributed.initialize skipped: {e}")
+    return jax.process_count()
+
+
+def create_hybrid_mesh(config: ParallelConfig, axis_names: Tuple[str, ...] = DEFAULT_AXES) -> Mesh:
+    """Multi-host mesh: the data axis rides DCN (across hosts), tensor and
+    sequence ride ICI (within a host's chips) — the layout the scaling
+    playbook prescribes and the reference approximates with NCCL process
+    groups. Uses `mesh_utils.create_hybrid_device_mesh` when more than one
+    process is attached; degenerates to `create_mesh` single-host."""
+    if jax.process_count() <= 1:
+        return create_mesh(config)
+    from jax.experimental import mesh_utils
+
+    per_host = (1, config.tensor_degree, config.sequence_degree)
+    dcn = (config.data_degree, 1, 1)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        per_host, dcn_mesh_shape=dcn, devices=jax.devices())
+    return Mesh(dev_array, axis_names)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -91,8 +91,9 @@ class KandinskyV22PriorPipeline(DiffusionPipeline):
         latents = latents * state.init_noise_sigma
         timesteps = np.asarray(state.timesteps)
 
-        @jax.jit
-        def one_step(sstate, latents, t, prev_t, step_key):
+        # per-instance jit cache (a bare @jax.jit here retraces every call)
+        def one_step(prior_params, prompt_embeds, hidden_states, text_mask,
+                     sstate, latents, t, prev_t, step_key, guidance_scale):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
             pred = prior(
                 prior_params, latent_input, t,
@@ -105,6 +106,11 @@ class KandinskyV22PriorPipeline(DiffusionPipeline):
                 pred = uncond + guidance_scale * (text - uncond)
             out = self.scheduler.step(sstate, pred, t, latents, prev_timestep=prev_t, key=step_key)
             return out.state, out.prev_sample
+
+        _one_step = self._jit("prior_one_step", one_step, static=(do_cfg,))
+        one_step = lambda sstate, latents, t, prev_t, step_key: _one_step(
+            prior_params, prompt_embeds, hidden_states, text_mask,
+            sstate, latents, t, prev_t, step_key, guidance_scale)
 
         sstate = state
         for i, t in enumerate(timesteps):
