@@ -40,19 +40,22 @@ class LTXCausalConv3d(Module):
     """Conv3d with replicate temporal padding (causal: all k_t−1 frames on the
     left; else split both sides). Reference LTXVideoCausalConv3d (`:30`)."""
 
-    def __init__(self, in_channels, out_channels, kernel_size=3, stride=1, dilation=1, is_causal=True):
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=1, dilation=1, is_causal=True,
+                 padding_mode: str = "zeros"):
         super().__init__()
         k = _triple(kernel_size)
         s = _triple(stride)
         d = (dilation, 1, 1) if isinstance(dilation, int) else tuple(dilation)
         self.kernel_size = k
         self.is_causal = is_causal
+        self.padding_mode = padding_mode  # spatial padding: "zeros" | "reflect" (LTX2 decoder)
+        pad = ((0, 0), (k[1] // 2, k[1] // 2), (k[2] // 2, k[2] // 2))
         self.conv = Conv3d(
             in_channels,
             out_channels,
             kernel_size=k,
             stride=s,
-            padding=((0, 0), (k[1] // 2, k[1] // 2), (k[2] // 2, k[2] // 2)),
+            padding=pad if padding_mode == "zeros" else ((0, 0), (0, 0), (0, 0)),
             dilation=d,
         )
 
@@ -68,6 +71,9 @@ class LTXCausalConv3d(Module):
                 left = jnp.repeat(x[:, :1], pad, axis=1)
                 right = jnp.repeat(x[:, -1:], pad, axis=1)
                 x = jnp.concatenate([left, x, right], axis=1)
+        if self.padding_mode != "zeros":
+            hp, wp = self.kernel_size[1] // 2, self.kernel_size[2] // 2
+            x = jnp.pad(x, ((0, 0), (0, 0), (hp, hp), (wp, wp), (0, 0)), mode=self.padding_mode)
         return self.conv(params["conv"], x)
 
 
@@ -86,6 +92,8 @@ class LTXResnetBlock3d(Module):
         is_causal: bool = True,
         inject_noise: bool = False,
         timestep_conditioning: bool = False,
+        padding_mode: str = "zeros",
+        plain_shortcut: bool = False,
     ):
         super().__init__()
         out_channels = out_channels or in_channels
@@ -93,16 +101,24 @@ class LTXResnetBlock3d(Module):
         self.nonlinearity = get_activation(non_linearity)
         self.inject_noise = inject_noise
         self.timestep_conditioning = timestep_conditioning
+        self.plain_shortcut = plain_shortcut
 
         self.norm1 = RMSNorm(in_channels, eps=1e-8, use_scale=elementwise_affine)
-        self.conv1 = LTXCausalConv3d(in_channels, out_channels, kernel_size=3, is_causal=is_causal)
+        self.conv1 = LTXCausalConv3d(in_channels, out_channels, kernel_size=3, is_causal=is_causal,
+                                     padding_mode=padding_mode)
         self.norm2 = RMSNorm(out_channels, eps=1e-8, use_scale=elementwise_affine)
-        self.conv2 = LTXCausalConv3d(out_channels, out_channels, kernel_size=3, is_causal=is_causal)
+        self.conv2 = LTXCausalConv3d(out_channels, out_channels, kernel_size=3, is_causal=is_causal,
+                                     padding_mode=padding_mode)
         self.norm3 = None
         self.conv_shortcut = None
         if in_channels != out_channels:
             self.norm3 = LayerNorm(in_channels, eps=eps, use_scale=True, use_bias=True)
-            self.conv_shortcut = LTXCausalConv3d(in_channels, out_channels, kernel_size=1, is_causal=is_causal)
+            if plain_shortcut:
+                # LTX2 uses a bare nn.Conv3d here (reference autoencoder_kl_ltx2.py:175):
+                # param path conv_shortcut.{weight,bias} without the .conv nesting
+                self.conv_shortcut = Conv3d(in_channels, out_channels, kernel_size=(1, 1, 1), stride=(1, 1, 1))
+            else:
+                self.conv_shortcut = LTXCausalConv3d(in_channels, out_channels, kernel_size=1, is_causal=is_causal)
 
     def init(self, key, dtype=jnp.float32) -> Params:
         params = super().init(key, dtype=dtype)
@@ -180,13 +196,14 @@ class LTXDownsampler3d(Module):
     frames, conv to out/(s0·s1·s2), pixel-unshuffle, plus a grouped-mean
     shortcut of the unshuffled input."""
 
-    def __init__(self, in_channels: int, out_channels: int, stride, is_causal=True):
+    def __init__(self, in_channels: int, out_channels: int, stride, is_causal=True, padding_mode="zeros"):
         super().__init__()
         self.stride = _triple(stride)
         s0, s1, s2 = self.stride
         self.group_size = (in_channels * s0 * s1 * s2) // out_channels
         self.conv = LTXCausalConv3d(
-            in_channels, out_channels // (s0 * s1 * s2), kernel_size=3, stride=1, is_causal=is_causal
+            in_channels, out_channels // (s0 * s1 * s2), kernel_size=3, stride=1, is_causal=is_causal,
+            padding_mode=padding_mode,
         )
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
@@ -203,14 +220,16 @@ class LTXDownsampler3d(Module):
 class LTXUpsampler3d(Module):
     """Reference LTXVideoUpsampler3d (`:246`)."""
 
-    def __init__(self, in_channels: int, stride, is_causal=True, residual=False, upscale_factor=1):
+    def __init__(self, in_channels: int, stride, is_causal=True, residual=False, upscale_factor=1,
+                 padding_mode="zeros"):
         super().__init__()
         self.stride = _triple(stride)
         self.residual = residual
         self.upscale_factor = upscale_factor
         s0, s1, s2 = self.stride
         out_channels = (in_channels * s0 * s1 * s2) // upscale_factor
-        self.conv = LTXCausalConv3d(in_channels, out_channels, kernel_size=3, stride=1, is_causal=is_causal)
+        self.conv = LTXCausalConv3d(in_channels, out_channels, kernel_size=3, stride=1, is_causal=is_causal,
+                                    padding_mode=padding_mode)
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         s = self.stride
@@ -231,7 +250,8 @@ class LTXMidBlock3d(Module):
     """Reference LTXVideoMidBlock3d (`:517`)."""
 
     def __init__(self, in_channels, num_layers=1, resnet_eps=1e-6, resnet_act_fn="swish",
-                 is_causal=True, inject_noise=False, timestep_conditioning=False):
+                 is_causal=True, inject_noise=False, timestep_conditioning=False, padding_mode="zeros",
+                 plain_shortcut=False):
         super().__init__()
         self.timestep_conditioning = timestep_conditioning
         if timestep_conditioning:
@@ -243,6 +263,7 @@ class LTXMidBlock3d(Module):
                 LTXResnetBlock3d(
                     in_channels, in_channels, eps=resnet_eps, non_linearity=resnet_act_fn,
                     is_causal=is_causal, inject_noise=inject_noise, timestep_conditioning=timestep_conditioning,
+                    padding_mode=padding_mode, plain_shortcut=plain_shortcut,
                 )
                 for _ in range(num_layers)
             ]
@@ -304,13 +325,14 @@ class LTXVideo095DownBlock3D(Module):
 
     def __init__(self, in_channels, out_channels=None, num_layers=1, resnet_eps=1e-6,
                  resnet_act_fn="swish", spatio_temporal_scale=True, is_causal=True,
-                 downsample_type="conv"):
+                 downsample_type="conv", padding_mode="zeros", plain_shortcut=False):
         super().__init__()
         out_channels = out_channels or in_channels
         self.resnets = ModuleList(
             [
                 LTXResnetBlock3d(in_channels, in_channels, eps=resnet_eps,
-                                 non_linearity=resnet_act_fn, is_causal=is_causal)
+                                 non_linearity=resnet_act_fn, is_causal=is_causal,
+                                 padding_mode=padding_mode, plain_shortcut=plain_shortcut)
                 for _ in range(num_layers)
             ]
         )
@@ -319,11 +341,13 @@ class LTXVideo095DownBlock3D(Module):
             strides = {"spatial": (1, 2, 2), "temporal": (2, 1, 1), "spatiotemporal": (2, 2, 2)}
             if downsample_type == "conv":
                 self.downsamplers = ModuleList(
-                    [LTXCausalConv3d(in_channels, in_channels, kernel_size=3, stride=(2, 2, 2), is_causal=is_causal)]
+                    [LTXCausalConv3d(in_channels, in_channels, kernel_size=3, stride=(2, 2, 2), is_causal=is_causal,
+                                     padding_mode=padding_mode)]
                 )
             else:
                 self.downsamplers = ModuleList(
-                    [LTXDownsampler3d(in_channels, out_channels, stride=strides[downsample_type], is_causal=is_causal)]
+                    [LTXDownsampler3d(in_channels, out_channels, stride=strides[downsample_type], is_causal=is_causal,
+                                      padding_mode=padding_mode)]
                 )
 
     def __call__(self, params: Params, x: jax.Array, temb=None, key=None) -> jax.Array:
@@ -340,7 +364,8 @@ class LTXUpBlock3d(Module):
     def __init__(self, in_channels, out_channels=None, num_layers=1, resnet_eps=1e-6,
                  resnet_act_fn="swish", spatio_temporal_scale=True, is_causal=True,
                  inject_noise=False, timestep_conditioning=False, upsample_residual=False,
-                 upscale_factor=1):
+                 upscale_factor=1, upsample_type="spatiotemporal", padding_mode="zeros",
+                 plain_shortcut=False):
         super().__init__()
         out_channels = out_channels or in_channels
         self.timestep_conditioning = timestep_conditioning
@@ -353,14 +378,16 @@ class LTXUpBlock3d(Module):
             self.conv_in = LTXResnetBlock3d(
                 in_channels, out_channels, eps=resnet_eps, non_linearity=resnet_act_fn,
                 is_causal=is_causal, inject_noise=inject_noise, timestep_conditioning=timestep_conditioning,
+                padding_mode=padding_mode, plain_shortcut=plain_shortcut,
             )
         self.upsamplers = None
         if spatio_temporal_scale:
+            strides = {"spatial": (1, 2, 2), "temporal": (2, 1, 1), "spatiotemporal": (2, 2, 2)}
             self.upsamplers = ModuleList(
                 [
                     LTXUpsampler3d(
-                        out_channels * upscale_factor, stride=(2, 2, 2), is_causal=is_causal,
-                        residual=upsample_residual, upscale_factor=upscale_factor,
+                        out_channels * upscale_factor, stride=strides[upsample_type], is_causal=is_causal,
+                        residual=upsample_residual, upscale_factor=upscale_factor, padding_mode=padding_mode,
                     )
                 ]
             )
@@ -369,6 +396,7 @@ class LTXUpBlock3d(Module):
                 LTXResnetBlock3d(
                     out_channels, out_channels, eps=resnet_eps, non_linearity=resnet_act_fn,
                     is_causal=is_causal, inject_noise=inject_noise, timestep_conditioning=timestep_conditioning,
+                    padding_mode=padding_mode, plain_shortcut=plain_shortcut,
                 )
                 for _ in range(num_layers)
             ]
