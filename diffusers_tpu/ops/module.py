@@ -127,6 +127,21 @@ class Linear(Module):
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         kernel = params["kernel"]
+        if "kernel_scale_i8x" in params:
+            # int8 compute via the XLA-native path: per-tensor dynamic
+            # activation quantization (elementwise, fuses into the producer)
+            # feeding an int8×int8→int32 dot whose dequant fuses into the
+            # epilogue. Measured on v5e (round 3): composes with conv/attention
+            # graphs where the Pallas per-row path loses to layout churn.
+            s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+            qx = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                qx, kernel, (((qx.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            y = (y.astype(jnp.float32) * (s * params["kernel_scale_i8x"])).astype(x.dtype)
+            if self.use_bias:
+                y = y + params["bias"].astype(x.dtype)
+            return y
         if "kernel_scale_w8a8" in params:  # int8 compute: fused Pallas w8a8 matmul
             from .pallas.quantized_matmul import w8a8_matmul
 

@@ -124,6 +124,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLMagvit": "diffusers_tpu.models.autoencoders.autoencoder_kl_magvit.AutoencoderKLMagvit",
     "AutoencoderKLAllegro": "diffusers_tpu.models.autoencoders.autoencoder_kl_allegro.AutoencoderKLAllegro",
     "AutoencoderKLCosmos": "diffusers_tpu.models.autoencoders.autoencoder_kl_cosmos.AutoencoderKLCosmos",
+    "LTX2VideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_ltx2.LTX2VideoTransformer3DModel",
+    "AutoencoderKLLTX2Video": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx2.AutoencoderKLLTX2Video",
 }
 
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {

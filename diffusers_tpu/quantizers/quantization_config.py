@@ -46,6 +46,14 @@ class Int8DynamicActConfig(QuantizationConfig):
     computed on the MXU's int8 path (2× bf16 peak) via the fused Pallas kernel
     (ops/pallas/quantized_matmul.py). TPU-native analogue of torchao's
     int8_dynamic_activation_int8_weight backend
-    (`/root/reference/src/diffusers/quantizers/torchao/`)."""
+    (`/root/reference/src/diffusers/quantizers/torchao/`).
+
+    ``impl`` selects the Linear compute path: "pallas" (default) uses the
+    fused per-row Pallas kernel; "xla" uses a per-tensor-scale XLA-native
+    int8 dot whose quant/dequant fuse into neighbors — measured (v5e, round
+    3) the better choice inside conv/attention-heavy graphs where the Pallas
+    call boundary blocks fusion, though neither wins end-to-end on SDXL
+    (composed int8 ~195 ms vs bf16 123 ms; isolated big matmuls do win 1.2-1.7x)."""
 
     quant_method = "int8_dynamic_activation"
+    impl: str = "pallas"

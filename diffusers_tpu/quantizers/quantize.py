@@ -101,7 +101,9 @@ def _quantize_params_traced(params, config: QuantizationConfig, path: str = ""):
                     if not (k_dim >= 2560 or (k_dim >= 1280 and n >= 2560)):
                         return params
                     q, scale = _quantize_kernel_int8(kernel)
-                    scale_key = "kernel_scale_w8a8"  # marks the int8-compute path in Linear
+                    # marks the int8-compute path in Linear (Pallas per-row vs
+                    # XLA-native per-tensor, see Int8DynamicActConfig.impl)
+                    scale_key = "kernel_scale_i8x" if getattr(config, "impl", "pallas") == "xla" else "kernel_scale_w8a8"
                 elif isinstance(config, Int8WeightOnlyConfig):
                     q, scale = _quantize_kernel_int8(kernel)
                 elif isinstance(config, Fp8WeightOnlyConfig):
@@ -134,7 +136,9 @@ def _quantize_params_traced(params, config: QuantizationConfig, path: str = ""):
 def dequantize_params(params):
     """Materialize quantized kernels back to float (for save/inspection)."""
     if isinstance(params, dict):
-        scale_key = next((k for k in ("kernel_scale", "kernel_scale_w8a8") if k in params), None)
+        scale_key = next(
+            (k for k in ("kernel_scale", "kernel_scale_w8a8", "kernel_scale_i8x") if k in params), None
+        )
         if scale_key is not None:
             new = dict(params)
             new["kernel"] = (

@@ -61,12 +61,34 @@ def test_quantize_rows_roundtrip():
 
 def test_int8_dynamic_act_config_through_linear():
     rng = np.random.RandomState(4)
-    lin = Linear(256, 128)
+    # K must clear the measured-win shape gate (quantize.py: K>=2560)
+    lin = Linear(2560, 128)
     params = lin.init(jax.random.PRNGKey(0))
     qparams = quantize_params({"lin": params}, Int8DynamicActConfig(min_weight_size=1))["lin"]
     assert qparams["kernel"].dtype == jnp.int8
     assert "kernel_scale_w8a8" in qparams
-    x = jnp.asarray(rng.randn(64, 256), jnp.float32)
+    x = jnp.asarray(rng.randn(64, 2560), jnp.float32)
+    y = lin(qparams, x)
+    ref = lin(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=0.03 * float(jnp.abs(ref).max()))
+
+
+def test_int8_dynamic_act_below_gate_left_unquantized():
+    lin = Linear(256, 128)
+    params = lin.init(jax.random.PRNGKey(0))
+    qparams = quantize_params({"lin": params}, Int8DynamicActConfig(min_weight_size=1))["lin"]
+    assert qparams["kernel"].dtype != jnp.int8  # below the shape gate: untouched
+
+
+def test_int8_dynamic_act_xla_impl_through_linear():
+    rng = np.random.RandomState(5)
+    lin = Linear(2560, 128)
+    params = lin.init(jax.random.PRNGKey(0))
+    cfg = Int8DynamicActConfig(min_weight_size=1, impl="xla")
+    qparams = quantize_params({"lin": params}, cfg)["lin"]
+    assert qparams["kernel"].dtype == jnp.int8
+    assert "kernel_scale_i8x" in qparams
+    x = jnp.asarray(rng.randn(64, 2560), jnp.float32)
     y = lin(qparams, x)
     ref = lin(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=0.03 * float(jnp.abs(ref).max()))
