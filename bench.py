@@ -1,14 +1,26 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Metric: SDXL-class UNet forward latency at 1024px (the reference benchmark
-CI's SDXL workload, `/root/reference/benchmarks/benchmarking_sdxl.py:10`),
-bf16, batch 2 (CFG pair), on the attached accelerator. From it we derive
-images/sec for a 30-step generation.
+Headline: images/sec through the REAL `StableDiffusionXLPipeline.__call__`
+(tokenize + dual text encode + 30-step CFG denoise scan + VAE decode +
+postprocess) at 1024px bf16 — the reference benchmark CI's SDXL workload
+(`/root/reference/benchmarks/benchmarking_sdxl.py:10`) measured through the
+user-facing API, nothing stubbed.
 
-vs_baseline: the reference publishes no absolute SDXL-UNet-on-L40 number in
-its repo; BASELINE.json's north star is images/sec/chip >= 2x reference
+vs_baseline: BASELINE.json's north star is images/sec/chip >= 2x reference
 A100. Public measurements put SDXL 1024px 30-step at ~0.51 images/sec on
-A100-80GB bf16 (no compile). vs_baseline reports our images/sec / (2 x 0.51).
+A100-80GB bf16 (no compile). `vs_baseline` / `vs_baseline_dense` report the
+DENSE pipeline vs 2x0.51 — apples-to-apples (the A100 number is dense).
+`vs_baseline_cached` reports the TaylorSeer-cached pipeline (the same hook
+the reference ships, `hooks/taylorseer_cache.py`) against the same dense
+A100 bar, separately labeled, with the cached-vs-dense output cosine
+similarity reported alongside so the quality cost is visible.
+
+Precision note (measured, round 3, v5e): dense bf16 UNet fwd runs at ~81%
+of this chip's practical bf16 ceiling; int8 (Pallas w8a8 AND XLA-native
+dots) wins 1.2-1.7x on isolated big matmuls but LOSES end-to-end on the
+composed UNet graph (195 ms vs 123 ms fwd) — quant/dequant boundaries break
+XLA fusion around attention. So the honest dense config is bf16; int8
+remains available via Int8DynamicActConfig for matmul-dominated models.
 """
 
 from __future__ import annotations
@@ -43,6 +55,108 @@ def build_sdxl_unet():
     )
     params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     return model, params
+
+
+class _BenchTokenizer:
+    """Host-side stand-in tokenizer (vocab-hash ids). Tokenization is host
+    string processing with no accelerator cost; every device-side stage of
+    encode_prompt (embedding lookup + full-size CLIP towers) runs for real."""
+
+    model_max_length = 77
+
+    def __call__(self, prompts, padding=None, max_length=77, truncation=True, return_tensors="np"):
+        class Out:
+            pass
+
+        out = Out()
+        ids = []
+        for p in prompts:
+            h = [((hash(p) + i * 31) % 49000) + 2 for i in range(16)]
+            ids.append([49406] + h + [49407] + [0] * (max_length - 18))
+        out.input_ids = np.array(ids)
+        return out
+
+    def save_pretrained(self, path):
+        pass
+
+
+def build_sdxl_pipeline():
+    """Full-size SDXL pipeline: real UNet + CLIP-L + OpenCLIP-bigG + VAE +
+    EulerDiscrete, randomly initialized (timing is weight-independent)."""
+    from diffusers_tpu.models.autoencoders.autoencoder_kl import AutoencoderKL
+    from diffusers_tpu.models.text_encoders.clip import CLIPTextModel, CLIPTextModelWithProjection
+    from diffusers_tpu.pipelines.stable_diffusion_xl.pipeline_stable_diffusion_xl import (
+        StableDiffusionXLPipeline,
+    )
+    from diffusers_tpu.schedulers import EulerDiscreteScheduler
+
+    key = jax.random.PRNGKey(0)
+    unet, unet_params = build_sdxl_unet()
+    vae = AutoencoderKL(
+        in_channels=3, out_channels=3,
+        down_block_types=("DownEncoderBlock2D",) * 4,
+        up_block_types=("UpDecoderBlock2D",) * 4,
+        block_out_channels=(128, 256, 512, 512),
+        latent_channels=4, layers_per_block=2, sample_size=1024,
+        scaling_factor=0.13025,
+    )
+    te1 = CLIPTextModel(  # openai/clip-vit-large-patch14 text tower
+        vocab_size=49408, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=12, num_attention_heads=12, projection_dim=768,
+    )
+    te2 = CLIPTextModelWithProjection(  # laion OpenCLIP bigG text tower
+        vocab_size=49408, hidden_size=1280, intermediate_size=5120,
+        num_hidden_layers=32, num_attention_heads=20, projection_dim=1280,
+        hidden_act="gelu",
+    )
+    scheduler = EulerDiscreteScheduler(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        timestep_spacing="leading", steps_offset=1,
+    )
+    return StableDiffusionXLPipeline(
+        vae=(vae, vae.init_params(key, dtype=jnp.bfloat16)),
+        text_encoder=(te1, te1.init_params(key, dtype=jnp.bfloat16)),
+        text_encoder_2=(te2, te2.init_params(key, dtype=jnp.bfloat16)),
+        tokenizer=_BenchTokenizer(),
+        tokenizer_2=_BenchTokenizer(),
+        unet=(unet, unet_params),
+        scheduler=scheduler,
+    )
+
+
+def bench_sdxl_pipeline_e2e(num_steps: int = 30):
+    """Dense + TaylorSeer-cached wall-clock through the public pipeline API.
+
+    Returns (dense_sec_per_image, cached_sec_per_image, cosine_sim). The
+    `output_type="np"` host transfer is the timing fence (through the axon
+    tunnel `block_until_ready` does not actually wait)."""
+    from diffusers_tpu.hooks.taylorseer import TaylorSeerCacheConfig
+
+    pipe = build_sdxl_pipeline()
+    call = lambda: pipe(
+        "a photo of an astronaut riding a horse on mars",
+        num_inference_steps=num_steps, guidance_scale=5.0,
+        key=jax.random.PRNGKey(0), output_type="np",
+    ).images
+
+    dense_img = call()  # compile
+    n_iters = 3
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        dense_img = call()
+    dense_s = (time.perf_counter() - start) / n_iters
+
+    pipe.enable_cache(TaylorSeerCacheConfig(cache_interval=5, disable_cache_before_step=3, max_order=1))
+    cached_img = call()  # recompile (cache adds scan-carry state)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        cached_img = call()
+    cached_s = (time.perf_counter() - start) / n_iters
+
+    a = dense_img.astype(np.float64).ravel()
+    b = cached_img.astype(np.float64).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    return dense_s, cached_s, cos
 
 
 def build_flux_dev():
@@ -157,103 +271,44 @@ def bench_sdxl_step():
     return (time.perf_counter() - start) / n_iters
 
 
-def bench_sdxl_e2e_taylorseer(num_steps: int = 30):
-    """Full 30-step CFG denoise with the TaylorSeer cache enabled — the
-    framework's out-of-the-box accelerated configuration (the reference ships
-    the same hook, `hooks/taylorseer_cache.py`). Measures wall-clock for the
-    whole scanned loop → images/sec including prediction-step overhead."""
-    from diffusers_tpu.hooks.taylorseer import (
-        TaylorSeerCacheConfig,
-        init_taylorseer_state,
-        taylorseer_apply,
-        taylorseer_compute_mask,
-    )
-
-    model, params = build_sdxl_unet()
-    batch = 2  # CFG pair → 1 image
-    h = w = 128
-    rng = np.random.RandomState(0)
-    sample0 = jnp.asarray(rng.randn(batch, 4, h, w), dtype=jnp.bfloat16)
-    ehs = jnp.asarray(rng.randn(batch, 77, 2048), dtype=jnp.bfloat16)
-    text_embeds = jnp.asarray(rng.randn(batch, 1280), dtype=jnp.bfloat16)
-    time_ids = jnp.asarray(rng.randn(batch, 6), dtype=jnp.bfloat16)
-
-    cfg = TaylorSeerCacheConfig(cache_interval=5, disable_cache_before_step=3, max_order=1)
-    mask = jnp.asarray(taylorseer_compute_mask(num_steps, cfg))
-    timesteps = jnp.linspace(999.0, 0.0, num_steps)
-
-    @jax.jit
-    def denoise(params, sample):
-        ts_state = init_taylorseer_state(sample.shape, cfg.max_order, jnp.bfloat16)
-
-        def step_fn(carry, inp):
-            i, t, compute = inp
-            sample, ts_state = carry
-            noise_pred, ts_state = taylorseer_apply(
-                ts_state,
-                i.astype(jnp.int32),
-                compute,
-                lambda: model(
-                    params, sample, t,
-                    encoder_hidden_states=ehs,
-                    added_cond_kwargs={"text_embeds": text_embeds, "time_ids": time_ids},
-                ).sample,
-            )
-            # plain euler-style update stands in for the scheduler (same math
-            # volume; scheduler cost is negligible vs the UNet)
-            sample = sample - 0.02 * noise_pred
-            return (sample, ts_state), None
-
-        idx = jnp.arange(num_steps, dtype=jnp.float32)
-        (sample, _), _ = jax.lax.scan(step_fn, (sample, ts_state), (idx, timesteps, mask))
-        return sample
-
-    out = denoise(params, sample0)
-    _ = float(jnp.sum(out.astype(jnp.float32)))
-    n_iters = 3
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = denoise(params, sample0)
-    _ = float(jnp.sum(out.astype(jnp.float32)))
-    loop_s = (time.perf_counter() - start) / n_iters
-    return loop_s  # seconds per image (1 image per loop)
-
-
 def main():
-    # scope each workload so its HBM frees before the next one
-    latency = bench_sdxl_step()
+    a100_reference_imgs_per_sec = 0.51  # public SDXL 1024px 30-step A100 bf16
+    bar = 2 * a100_reference_imgs_per_sec
+
+    # real-pipeline e2e: dense + cached through StableDiffusionXLPipeline.__call__
+    dense_s, cached_s, cos = bench_sdxl_pipeline_e2e()
     jax.clear_caches()
 
-    # 30-step CFG-pair generation throughput (UNet-dominated; VAE ignored)
-    images_per_sec = 1.0 / (30 * latency)
-    a100_reference_imgs_per_sec = 0.51  # public SDXL 1024px 30-step A100 bf16
-
+    # UNet-forward latency (continuity with earlier rounds' headline)
     try:
-        e2e_ts = bench_sdxl_e2e_taylorseer()
-        images_per_sec_ts = 1.0 / e2e_ts
+        unet_latency_ms = round(bench_sdxl_step() * 1000, 3)
     except Exception:
-        images_per_sec_ts = None
+        unet_latency_ms = None
     jax.clear_caches()
 
     try:
         flux_step_ms = round(bench_flux_step() * 1000, 3)
-    except Exception as e:  # keep the headline metric alive if flux OOMs
+    except Exception:  # keep the headline metric alive if flux OOMs
         flux_step_ms = None
 
-    best = images_per_sec_ts or images_per_sec
+    dense_ips = 1.0 / dense_s
+    cached_ips = 1.0 / cached_s
     print(
         json.dumps(
             {
-                "metric": "sdxl_unet_fwd_latency_1024px_bf16_b2",
-                "value": round(latency * 1000, 3),
-                "unit": "ms",
-                "images_per_sec_30step": round(images_per_sec, 4),
-                # framework-accelerated config: TaylorSeer cache (interval 4,
-                # 3 warmup full steps, order 1) — same hook the reference ships
-                "images_per_sec_30step_taylorseer": round(images_per_sec_ts, 4) if images_per_sec_ts else None,
-                # best out-of-the-box configuration vs 2x A100 north star
-                "vs_baseline": round(best / (2 * a100_reference_imgs_per_sec), 4),
-                "vs_baseline_dense": round(images_per_sec / (2 * a100_reference_imgs_per_sec), 4),
+                # headline: the DENSE user-facing pipeline, apples-to-apples
+                # with the dense A100 bar
+                "metric": "sdxl_pipeline_e2e_images_per_sec_30step_1024px_bf16",
+                "value": round(dense_ips, 4),
+                "unit": "img/s",
+                "vs_baseline": round(dense_ips / bar, 4),
+                "vs_baseline_dense": round(dense_ips / bar, 4),
+                # separately-labeled accelerated config (TaylorSeer via the
+                # public enable_cache API), with its quality delta
+                "images_per_sec_taylorseer_cached": round(cached_ips, 4),
+                "vs_baseline_cached": round(cached_ips / bar, 4),
+                "cached_vs_dense_cosine": round(cos, 4),
+                "sdxl_unet_fwd_latency_1024px_bf16_b2_ms": unet_latency_ms,
                 "flux_dev_step_latency_1024px_w8a8_ms": flux_step_ms,
             }
         )

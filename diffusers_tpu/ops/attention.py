@@ -265,6 +265,9 @@ def _auto_backend(query: jax.Array, key: jax.Array, attn_mask=None, is_causal: b
     # inside the kernel). Mirrors the reference's seq>=4096 XLA gate
     # (attention_processor.py:2790) but with TPU-tuned thresholds.
     b, s, h, d = query.shape
-    if _on_tpu() and s >= 1024 and d % 64 == 0 and s % 128 == 0:
+    # d <= 256: larger head dims (e.g. VAE mid-block single-head attention,
+    # d=512 at 16k tokens) blow the kernel's per-block VMEM budget — measured
+    # scoped-vmem OOM on v5e; XLA's native path handles those fine.
+    if _on_tpu() and s >= 1024 and d % 64 == 0 and d <= 256 and s % 128 == 0:
         return "pallas_flash"
     return "native"

@@ -345,6 +345,74 @@ class Conv1d(Module):
         return y
 
 
+class ConvTranspose1d(Module):
+    """1D transposed convolution over NLC activations. Kernel stored LIO in
+    the torch orientation (torch nn.ConvTranspose1d weight [I, O, K]
+    transposes to [K, I, O] on load); realized as an lhs-dilated correlation
+    with the kernel flipped along L."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0,
+                 groups: int = 1, use_bias=True):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.groups = groups
+        self.use_bias = use_bias
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        k1, k2 = jax.random.split(key)
+        fan_in = self.in_channels // self.groups * self.kernel_size
+        bound = 1 / math.sqrt(fan_in)
+        shape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
+        params = {"kernel": _uniform(k1, shape, bound, dtype)}
+        if self.use_bias:
+            params["bias"] = _uniform(k2, (self.out_channels,), bound, dtype)
+        return params
+
+    def convert_torch_param(self, pname, tensor):
+        if pname == "weight":  # [I, O/groups, K] -> [K, I, O/groups]
+            return "kernel", tensor.transpose(2, 0, 1)
+        return pname, tensor
+
+    def convert_param_to_torch(self, pname, array):
+        if pname == "kernel":
+            return "weight", array.transpose(1, 2, 0)
+        return pname, array
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        k, p = self.kernel_size, self.padding
+        kernel = jnp.flip(params["kernel"].astype(x.dtype), axis=0)
+        if self.groups == 1:
+            # stored [K, I, O]: lhs-dilated correlation contracts over I
+            y = jax.lax.conv_general_dilated(
+                x, kernel,
+                window_strides=(1,),
+                padding=((k - 1 - p, k - 1 - p),),
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+        else:
+            # grouped transpose: stored [K, I/?..]; torch layout is
+            # [I, O/groups, K] -> here [K, I, O/groups]; regroup to HIO with
+            # I_per_group contraction: reshape to [K, groups, I/groups, O/groups]
+            kk = kernel.reshape(k, self.groups, self.in_channels // self.groups, -1)
+            kk = jnp.moveaxis(kk, 1, 2).reshape(k, self.in_channels // self.groups, -1)
+            y = jax.lax.conv_general_dilated(
+                x, kk,
+                window_strides=(1,),
+                padding=((k - 1 - p, k - 1 - p),),
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+            )
+        if self.use_bias:
+            y = y + params["bias"].astype(x.dtype)
+        return y
+
+
 class ConvTranspose2d(Module):
     """2D transposed convolution over NHWC activations. Kernel stored HWIO in
     the torch orientation (torch nn.ConvTranspose2d weight [I, O, kH, kW]
