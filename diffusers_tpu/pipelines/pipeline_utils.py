@@ -126,6 +126,10 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLCosmos": "diffusers_tpu.models.autoencoders.autoencoder_kl_cosmos.AutoencoderKLCosmos",
     "LTX2VideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_ltx2.LTX2VideoTransformer3DModel",
     "AutoencoderKLLTX2Video": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx2.AutoencoderKLLTX2Video",
+    "AutoencoderKLLTX2Audio": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx2_audio.AutoencoderKLLTX2Audio",
+    "LTX2TextConnectors": "diffusers_tpu.pipelines.ltx2.connectors.LTX2TextConnectors",
+    "LTX2Vocoder": "diffusers_tpu.pipelines.ltx2.vocoder.LTX2Vocoder",
+    "LTX2VocoderWithBWE": "diffusers_tpu.pipelines.ltx2.vocoder.LTX2VocoderWithBWE",
 }
 
 _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
@@ -140,13 +144,15 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "Qwen2_5_VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
     "Qwen2VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
     "Mistral3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "Gemma3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.gemma.Gemma3ForConditionalGeneration",
+    "Gemma3TextModel": "diffusers_tpu.models.text_encoders.gemma.Gemma3TextModel",
 }
 
 # loaded via transformers' own from_pretrained (pure-host preprocessing)
 _TOKENIZER_CLASSES = {
     "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
     "GemmaTokenizer", "GemmaTokenizerFast", "Qwen2Tokenizer", "Qwen2TokenizerFast",
-    "CLIPImageProcessor", "CLIPFeatureExtractor",
+    "CLIPImageProcessor", "CLIPFeatureExtractor", "Gemma3Processor",
 }
 
 
