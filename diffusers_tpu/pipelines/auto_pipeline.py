@@ -22,6 +22,7 @@ AUTO_TEXT2IMAGE_PIPELINES_MAPPING = OrderedDict(
         ("stable-diffusion-xl", _SDXL + "pipeline_stable_diffusion_xl.StableDiffusionXLPipeline"),
         ("stable-diffusion-3", "diffusers_tpu.pipelines.stable_diffusion_3.pipeline_stable_diffusion_3.StableDiffusion3Pipeline"),
         ("flux", "diffusers_tpu.pipelines.flux.pipeline_flux.FluxPipeline"),
+        ("kandinsky5", "diffusers_tpu.pipelines.kandinsky5.pipeline_kandinsky5_t2i.Kandinsky5T2IPipeline"),
         ("ddpm", "diffusers_tpu.pipelines.ddpm.pipeline_ddpm.DDPMPipeline"),
         ("controlnet", "diffusers_tpu.pipelines.controlnet.pipeline_controlnet.StableDiffusionControlNetPipeline"),
     ]
@@ -60,6 +61,7 @@ _FAMILY_OF = {
     "StableDiffusionControlNetPipeline": "controlnet",
     "StableDiffusionPAGPipeline": "stable-diffusion",
     "LatentConsistencyModelPipeline": "stable-diffusion",
+    "Kandinsky5T2IPipeline": "kandinsky5",
 }
 
 

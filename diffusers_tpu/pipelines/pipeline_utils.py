@@ -128,6 +128,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLLTX2Video": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx2.AutoencoderKLLTX2Video",
     "AutoencoderKLLTX2Audio": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx2_audio.AutoencoderKLLTX2Audio",
     "LTX2TextConnectors": "diffusers_tpu.pipelines.ltx2.connectors.LTX2TextConnectors",
+    "Kandinsky5Transformer3DModel": "diffusers_tpu.models.transformers.transformer_kandinsky.Kandinsky5Transformer3DModel",
+    "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
+    "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
     "LTX2Vocoder": "diffusers_tpu.pipelines.ltx2.vocoder.LTX2Vocoder",
     "LTX2VocoderWithBWE": "diffusers_tpu.pipelines.ltx2.vocoder.LTX2VocoderWithBWE",
 }
@@ -152,7 +155,7 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
 _TOKENIZER_CLASSES = {
     "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
     "GemmaTokenizer", "GemmaTokenizerFast", "Qwen2Tokenizer", "Qwen2TokenizerFast",
-    "CLIPImageProcessor", "CLIPFeatureExtractor", "Gemma3Processor",
+    "CLIPImageProcessor", "CLIPFeatureExtractor", "Gemma3Processor", "Qwen2VLProcessor",
 }
 
 
