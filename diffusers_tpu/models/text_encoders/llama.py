@@ -51,7 +51,7 @@ class LlamaRMSNorm(Module):
 
 class LlamaAttention(Module):
     def __init__(self, hidden_size, num_heads, num_kv_heads, head_dim, rope_theta,
-                 attention_bias: bool = False):
+                 attention_bias: bool = False, qk_norm: bool = False, rms_norm_eps: float = 1e-6):
         super().__init__()
         self.num_heads = num_heads
         self.num_kv_heads = num_kv_heads
@@ -63,6 +63,9 @@ class LlamaAttention(Module):
         self.k_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=attention_bias)
         self.v_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=attention_bias)
         self.o_proj = Linear(num_heads * head_dim, hidden_size, use_bias=False)
+        # Qwen3 towers add per-head q/k RMSNorm before rope
+        self.q_norm = LlamaRMSNorm(head_dim, rms_norm_eps) if qk_norm else None
+        self.k_norm = LlamaRMSNorm(head_dim, rms_norm_eps) if qk_norm else None
 
     def __call__(self, params: Params, x: jax.Array, positions: jax.Array,
                  attention_mask: Optional[jax.Array]) -> jax.Array:
@@ -70,6 +73,9 @@ class LlamaAttention(Module):
         q = self.q_proj(params["q_proj"], x).reshape(b, s, self.num_heads, self.head_dim)
         k = self.k_proj(params["k_proj"], x).reshape(b, s, self.num_kv_heads, self.head_dim)
         v = self.v_proj(params["v_proj"], x).reshape(b, s, self.num_kv_heads, self.head_dim)
+        if self.q_norm is not None:
+            q = self.q_norm(params["q_norm"], q)
+            k = self.k_norm(params["k_norm"], k)
         q = _rope(q, positions, self.rope_theta)
         k = _rope(k, positions, self.rope_theta)
         if self.num_kv_heads != self.num_heads:
@@ -103,10 +109,11 @@ class LlamaMLP(Module):
 
 class LlamaDecoderLayer(Module):
     def __init__(self, hidden_size, intermediate_size, num_heads, num_kv_heads, head_dim,
-                 rms_norm_eps, rope_theta, attention_bias: bool = False):
+                 rms_norm_eps, rope_theta, attention_bias: bool = False, qk_norm: bool = False):
         super().__init__()
         self.self_attn = LlamaAttention(hidden_size, num_heads, num_kv_heads, head_dim, rope_theta,
-                                        attention_bias=attention_bias)
+                                        attention_bias=attention_bias, qk_norm=qk_norm,
+                                        rms_norm_eps=rms_norm_eps)
         self.mlp = LlamaMLP(hidden_size, intermediate_size)
         self.input_layernorm = LlamaRMSNorm(hidden_size, rms_norm_eps)
         self.post_attention_layernorm = LlamaRMSNorm(hidden_size, rms_norm_eps)
@@ -137,6 +144,8 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
         head_dim: Optional[int] = None,
         rms_norm_eps: float = 1e-5,
         rope_theta: float = 500000.0,
+        attention_bias: bool = False,
+        qk_norm: bool = False,
     ):
         super().__init__()
         head_dim = head_dim or hidden_size // num_attention_heads
@@ -144,7 +153,8 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
         self.layers = ModuleList(
             [
                 LlamaDecoderLayer(hidden_size, intermediate_size, num_attention_heads,
-                                  num_key_value_heads, head_dim, rms_norm_eps, rope_theta)
+                                  num_key_value_heads, head_dim, rms_norm_eps, rope_theta,
+                                  attention_bias=attention_bias, qk_norm=qk_norm)
                 for _ in range(num_hidden_layers)
             ]
         )
@@ -184,7 +194,14 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
             full = json.load(f)
         if "text_config" in full:  # llava wrapper configs
             full = full["text_config"]
-        model = cls(**{k: full[k] for k in _LLAMA_CONFIG_KEYS if k in full})
+        extra = {}
+        # Qwen3 towers: per-head q/k RMSNorm (transformers Qwen3Attention);
+        # Qwen2 towers: qkv projection bias
+        if full.get("model_type") in ("qwen3", "qwen3_moe"):
+            extra["qk_norm"] = True
+        if full.get("model_type", "").startswith("qwen2") or full.get("attention_bias"):
+            extra["attention_bias"] = True
+        model = cls(**{k: full[k] for k in _LLAMA_CONFIG_KEYS if k in full}, **extra)
 
         index_path = os.path.join(model_path, "model.safetensors.index.json")
         if os.path.isfile(index_path):

@@ -129,6 +129,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLLTX2Audio": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx2_audio.AutoencoderKLLTX2Audio",
     "LTX2TextConnectors": "diffusers_tpu.pipelines.ltx2.connectors.LTX2TextConnectors",
     "Kandinsky5Transformer3DModel": "diffusers_tpu.models.transformers.transformer_kandinsky.Kandinsky5Transformer3DModel",
+    "ZImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_z_image.ZImageTransformer2DModel",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
     "LTX2Vocoder": "diffusers_tpu.pipelines.ltx2.vocoder.LTX2Vocoder",
@@ -147,6 +148,8 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "Qwen2_5_VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
     "Qwen2VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
     "Mistral3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "Qwen3Model": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "Qwen3ForCausalLM": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
     "Gemma3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.gemma.Gemma3ForConditionalGeneration",
     "Gemma3TextModel": "diffusers_tpu.models.text_encoders.gemma.Gemma3TextModel",
 }
