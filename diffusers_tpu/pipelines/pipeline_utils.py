@@ -130,6 +130,10 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LTX2TextConnectors": "diffusers_tpu.pipelines.ltx2.connectors.LTX2TextConnectors",
     "Kandinsky5Transformer3DModel": "diffusers_tpu.models.transformers.transformer_kandinsky.Kandinsky5Transformer3DModel",
     "ZImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_z_image.ZImageTransformer2DModel",
+    "HunyuanImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_hunyuanimage.HunyuanImageTransformer2DModel",
+    "AutoencoderKLHunyuanImage": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuanimage.AutoencoderKLHunyuanImage",
+    "AdaptiveProjectedMixGuidance": "diffusers_tpu.guiders.adaptive_projected_guidance_mix.AdaptiveProjectedMixGuidance",
+    "ClassifierFreeGuidance": "diffusers_tpu.guiders.classifier_free_guidance.ClassifierFreeGuidance",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
     "LTX2Vocoder": "diffusers_tpu.pipelines.ltx2.vocoder.LTX2Vocoder",
@@ -159,6 +163,7 @@ _TOKENIZER_CLASSES = {
     "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
     "GemmaTokenizer", "GemmaTokenizerFast", "Qwen2Tokenizer", "Qwen2TokenizerFast",
     "CLIPImageProcessor", "CLIPFeatureExtractor", "Gemma3Processor", "Qwen2VLProcessor",
+    "ByT5Tokenizer",
 }
 
 
