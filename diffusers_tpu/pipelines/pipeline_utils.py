@@ -133,6 +133,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "HunyuanImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_hunyuanimage.HunyuanImageTransformer2DModel",
     "AutoencoderKLHunyuanImage": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuanimage.AutoencoderKLHunyuanImage",
     "AdaptiveProjectedMixGuidance": "diffusers_tpu.guiders.adaptive_projected_guidance_mix.AdaptiveProjectedMixGuidance",
+    "ShapERenderer": "diffusers_tpu.pipelines.shap_e.renderer.ShapERenderer",
     "ClassifierFreeGuidance": "diffusers_tpu.guiders.classifier_free_guidance.ClassifierFreeGuidance",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",

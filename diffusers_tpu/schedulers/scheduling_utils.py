@@ -158,6 +158,8 @@ def make_beta_schedule(
         return betas_for_alpha_bar(num_train_timesteps)
     if beta_schedule == "laplace":
         return betas_for_alpha_bar(num_train_timesteps, alpha_transform_type="laplace")
+    if beta_schedule == "exp":
+        return betas_for_alpha_bar(num_train_timesteps, alpha_transform_type="exp")
     if beta_schedule == "sigmoid":
         betas = np.linspace(-6, 6, num_train_timesteps, dtype=np.float32)
         return 1 / (1 + np.exp(-betas)) * (beta_end - beta_start) + beta_start
