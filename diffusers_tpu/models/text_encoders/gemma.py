@@ -22,7 +22,7 @@ import json
 import math
 import os
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -472,6 +472,203 @@ class Gemma3ForConditionalGeneration(Module, ModelMixin, ConfigMixin):
                                       "lm_head.", "language_model.lm_head.")):
                         continue
                     state[nk] = f.get_tensor(k)
+        params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
+        from ...quantizers.quantize import maybe_quantize
+
+        params = maybe_quantize(params, quantization_config)
+        return model, params
+
+    def save_pretrained(self, save_directory, params, **kwargs):
+        from .clip import _save_transformers_style
+
+        _save_transformers_style(self, save_directory, params)
+
+
+# ---------------------------------------------------------------------------
+# T5Gemma encoder (PRX's text encoder)
+# ---------------------------------------------------------------------------
+
+
+class T5GemmaSelfAttention(Module):
+    """Bidirectional Gemma-2-style attention with optional sliding window
+    (transformers T5GemmaSelfAttention; encoder stack is non-causal)."""
+
+    def __init__(self, hidden_size, num_heads, num_kv_heads, head_dim, query_pre_attn_scalar,
+                 attn_logit_softcapping, rope_theta, sliding_window: Optional[int] = None):
+        super().__init__()
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.scale = query_pre_attn_scalar**-0.5
+        self.softcap = attn_logit_softcapping
+        self.rope_theta = rope_theta
+        self.sliding_window = sliding_window
+        self.q_proj = Linear(hidden_size, num_heads * head_dim, use_bias=False)
+        self.k_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=False)
+        self.v_proj = Linear(hidden_size, num_kv_heads * head_dim, use_bias=False)
+        self.o_proj = Linear(num_heads * head_dim, hidden_size, use_bias=False)
+
+    def __call__(self, params: Params, x: jax.Array, positions: jax.Array,
+                 attention_mask: Optional[jax.Array]) -> jax.Array:
+        b, s, _ = x.shape
+        q = self.q_proj(params["q_proj"], x).reshape(b, s, self.num_heads, self.head_dim)
+        k = self.k_proj(params["k_proj"], x).reshape(b, s, self.num_kv_heads, self.head_dim)
+        v = self.v_proj(params["v_proj"], x).reshape(b, s, self.num_kv_heads, self.head_dim)
+        q = _rope(q, positions, self.rope_theta)
+        k = _rope(k, positions, self.rope_theta)
+        if self.num_kv_heads != self.num_heads:
+            rep = self.num_heads // self.num_kv_heads
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * self.scale
+        if self.softcap is not None:
+            logits = jnp.tanh(logits / self.softcap) * self.softcap
+        if self.sliding_window is not None:
+            qi = jnp.arange(s)[:, None]
+            ki = jnp.arange(s)[None, :]
+            keep = jnp.abs(qi - ki) < self.sliding_window
+            logits = jnp.where(keep[None, None], logits, -2.3819763e38)
+        if attention_mask is not None:
+            keep = attention_mask[:, None, None, :].astype(bool)
+            logits = jnp.where(keep, logits, -2.3819763e38)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, -1)
+        return self.o_proj(params["o_proj"], out)
+
+
+class T5GemmaEncoderLayer(Module):
+    """Sandwich-norm encoder layer (transformers T5GemmaEncoderLayer: the norm
+    names differ from Gemma-2's decoder layer)."""
+
+    def __init__(self, cfg, sliding_window: Optional[int]):
+        super().__init__()
+        self.self_attn = T5GemmaSelfAttention(
+            cfg["hidden_size"], cfg["num_attention_heads"], cfg["num_key_value_heads"], cfg["head_dim"],
+            cfg["query_pre_attn_scalar"], cfg["attn_logit_softcapping"], cfg["rope_theta"],
+            sliding_window=sliding_window,
+        )
+        self.mlp = GemmaMLP(cfg["hidden_size"], cfg["intermediate_size"])
+        self.pre_self_attn_layernorm = GemmaRMSNorm(cfg["hidden_size"], cfg["rms_norm_eps"])
+        self.post_self_attn_layernorm = GemmaRMSNorm(cfg["hidden_size"], cfg["rms_norm_eps"])
+        self.pre_feedforward_layernorm = GemmaRMSNorm(cfg["hidden_size"], cfg["rms_norm_eps"])
+        self.post_feedforward_layernorm = GemmaRMSNorm(cfg["hidden_size"], cfg["rms_norm_eps"])
+
+    def __call__(self, params, x, positions, attention_mask):
+        h = self.pre_self_attn_layernorm(params["pre_self_attn_layernorm"], x)
+        h = self.self_attn(params["self_attn"], h, positions, attention_mask)
+        h = self.post_self_attn_layernorm(params["post_self_attn_layernorm"], h)
+        x = x + h
+        h = self.pre_feedforward_layernorm(params["pre_feedforward_layernorm"], x)
+        h = self.mlp(params["mlp"], h)
+        h = self.post_feedforward_layernorm(params["post_feedforward_layernorm"], h)
+        return x + h
+
+
+class _T5GemmaEncoderCore(Module):
+    def __init__(self, cfg, layer_types):
+        super().__init__()
+        self.hidden_size = cfg["hidden_size"]
+        self.embed_tokens = Embedding(cfg["vocab_size"], cfg["hidden_size"])
+        self.layers = ModuleList([
+            T5GemmaEncoderLayer(cfg, cfg["sliding_window"] if lt == "sliding_attention" else None)
+            for lt in layer_types
+        ])
+        self.norm = GemmaRMSNorm(cfg["hidden_size"], cfg["rms_norm_eps"])
+
+    def __call__(self, params, input_ids, attention_mask, output_hidden_states):
+        x = self.embed_tokens(params["embed_tokens"], input_ids)
+        x = x * jnp.asarray(self.hidden_size**0.5, x.dtype)
+        positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]), input_ids.shape)
+        all_hidden = [] if output_hidden_states else None
+        for i, layer in enumerate(self.layers):
+            if output_hidden_states:
+                all_hidden.append(x)
+            x = layer(params["layers"][i], x, positions, attention_mask)
+        x = self.norm(params["norm"], x)
+        if output_hidden_states:
+            all_hidden.append(x)
+        return x, all_hidden
+
+
+class T5GemmaEncoderModel(Module, ModelMixin, ConfigMixin):
+    """transformers-compatible T5Gemma encoder tower (the PRX prompt encoder,
+    reference `/root/reference/src/diffusers/pipelines/prx/pipeline_prx.py:274`).
+    Gemma-2 blocks made bidirectional, sliding window on `layer_types`-marked
+    layers, checkpoint keys nested under `encoder.`."""
+
+    @register_to_config
+    def __init__(
+        self,
+        vocab_size: int = 256000,
+        hidden_size: int = 2304,
+        intermediate_size: int = 9216,
+        num_hidden_layers: int = 26,
+        num_attention_heads: int = 8,
+        num_key_value_heads: int = 4,
+        head_dim: int = 256,
+        rms_norm_eps: float = 1e-6,
+        rope_theta: float = 10000.0,
+        query_pre_attn_scalar: float = 256,
+        attn_logit_softcapping: Optional[float] = 50.0,
+        sliding_window: int = 4096,
+        layer_types: Optional[Tuple[str, ...]] = None,
+    ):
+        super().__init__()
+        if layer_types is None:  # gemma-2 default: even layers slide
+            layer_types = tuple(
+                "sliding_attention" if i % 2 == 0 else "full_attention"
+                for i in range(num_hidden_layers)
+            )
+        cfg = dict(
+            vocab_size=vocab_size, hidden_size=hidden_size, intermediate_size=intermediate_size,
+            num_attention_heads=num_attention_heads, num_key_value_heads=num_key_value_heads,
+            head_dim=head_dim, rms_norm_eps=rms_norm_eps, rope_theta=rope_theta,
+            query_pre_attn_scalar=query_pre_attn_scalar, attn_logit_softcapping=attn_logit_softcapping,
+            sliding_window=sliding_window,
+        )
+        self.encoder = _T5GemmaEncoderCore(cfg, layer_types)
+
+    def __call__(self, params: Params, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 output_hidden_states: bool = False) -> GemmaEncoderOutput:
+        x, all_hidden = self.encoder(params["encoder"], input_ids, attention_mask, output_hidden_states)
+        return GemmaEncoderOutput(last_hidden_state=x, hidden_states=all_hidden)
+
+    def __getitem__(self, key):  # dict-style access (reference uses ["last_hidden_state"])
+        raise TypeError("call the model first")
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path, subfolder=None, dtype=None, variant=None,
+                        quantization_config=None, **kwargs):
+        from safetensors import safe_open
+
+        from ...utils.hub_utils import snapshot_download_repo
+        from ...utils.jax_utils import resolve_dtype
+
+        root = str(pretrained_model_name_or_path)
+        if not os.path.isdir(root):
+            root = snapshot_download_repo(root, **kwargs)
+        model_path = os.path.join(root, subfolder) if subfolder else root
+        with open(os.path.join(model_path, "config.json")) as f:
+            full = json.load(f)
+        enc = full.get("encoder", full)
+        keys = _GEMMA_CONFIG_KEYS + ("layer_types",)
+        model = cls(**{k: enc[k] for k in keys if k in enc})
+
+        index_path = os.path.join(model_path, "model.safetensors.index.json")
+        if os.path.isfile(index_path):
+            with open(index_path) as f:
+                files = sorted(set(json.load(f)["weight_map"].values()))
+        else:
+            files = ["model.safetensors"]
+        state = {}
+        for fn in files:
+            with safe_open(os.path.join(model_path, fn), framework="numpy") as f:
+                for k in f.keys():
+                    key = k.removeprefix("model.")
+                    if key.startswith("decoder.") or key.startswith("lm_head"):
+                        continue  # encoder-only tower
+                    state[key] = f.get_tensor(k)
         params = convert_torch_state_dict(model, state, dtype=resolve_dtype(dtype, default=None))
         from ...quantizers.quantize import maybe_quantize
 

@@ -134,6 +134,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKLHunyuanImage": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuanimage.AutoencoderKLHunyuanImage",
     "AdaptiveProjectedMixGuidance": "diffusers_tpu.guiders.adaptive_projected_guidance_mix.AdaptiveProjectedMixGuidance",
     "ShapERenderer": "diffusers_tpu.pipelines.shap_e.renderer.ShapERenderer",
+    "PRXTransformer2DModel": "diffusers_tpu.models.transformers.transformer_prx.PRXTransformer2DModel",
     "ClassifierFreeGuidance": "diffusers_tpu.guiders.classifier_free_guidance.ClassifierFreeGuidance",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
@@ -153,7 +154,9 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "Qwen2_5_VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
     "Qwen2VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.qwen2_vl.Qwen2_5_VLTextEncoder",
     "Mistral3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "LlamaModel": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
     "Qwen3Model": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "T5GemmaEncoderModel": "diffusers_tpu.models.text_encoders.gemma.T5GemmaEncoderModel",
     "Qwen3ForCausalLM": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
     "Gemma3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.gemma.Gemma3ForConditionalGeneration",
     "Gemma3TextModel": "diffusers_tpu.models.text_encoders.gemma.Gemma3TextModel",
