@@ -96,9 +96,10 @@ class KandinskyV22Pipeline(DiffusionPipeline):
                 negative_image_embeds = jnp.zeros_like(image_embeds)
             image_embeds = jnp.concatenate([negative_image_embeds, image_embeds], axis=0)
 
-        height, width = downscale_height_and_width(height, width, self.movq_scale_factor)
-        lh = height // self.movq_scale_factor
-        lw = width // self.movq_scale_factor
+        # downscale_height_and_width already returns the LATENT grid size
+        # (reference pipeline_kandinsky2_2.py:246 feeds it straight to
+        # prepare_latents)
+        lh, lw = downscale_height_and_width(height, width, self.movq_scale_factor)
         num_channels_latents = unet.config.in_channels
         if latents is None:
             key, lat_key = jax.random.split(key)

@@ -160,6 +160,8 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "Qwen3ForCausalLM": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
     "Gemma3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.gemma.Gemma3ForConditionalGeneration",
     "Gemma3TextModel": "diffusers_tpu.models.text_encoders.gemma.Gemma3TextModel",
+    "MultilingualCLIP": "diffusers_tpu.models.text_encoders.xlm_roberta.MultilingualCLIP",
+    "XLMRobertaModel": "diffusers_tpu.models.text_encoders.xlm_roberta.MultilingualCLIP",
 }
 
 # loaded via transformers' own from_pretrained (pure-host preprocessing)
@@ -167,7 +169,7 @@ _TOKENIZER_CLASSES = {
     "CLIPTokenizer", "CLIPTokenizerFast", "T5Tokenizer", "T5TokenizerFast", "AutoTokenizer",
     "GemmaTokenizer", "GemmaTokenizerFast", "Qwen2Tokenizer", "Qwen2TokenizerFast",
     "CLIPImageProcessor", "CLIPFeatureExtractor", "Gemma3Processor", "Qwen2VLProcessor",
-    "ByT5Tokenizer",
+    "ByT5Tokenizer", "XLMRobertaTokenizer", "XLMRobertaTokenizerFast",
 }
 
 
