@@ -303,11 +303,26 @@ def _prep(query, key, value, attn_mask, block_q, block_k):
     return q, k, v, mask, pad
 
 
+def _fit_block(seq: int, preferred: int) -> Optional[int]:
+    """Largest MXU-friendly block <= preferred that divides seq. Sequences
+    like Flux's 4608 (512 text + 4096 image) don't divide 1024 — requiring
+    exact division of the *preferred* block silently forfeited the kernel."""
+    for cand in (preferred, 1024, 512, 256, 128):
+        if cand <= preferred and cand <= seq and seq % cand == 0:
+            return cand
+    return None
+
+
 def _supported(query, key, block_q, block_k):
     b, s, h, d = query.shape
     sk = key.shape[1]
-    bq, bk = min(block_q, s), min(block_k, sk)
-    return s % bq == 0 and sk % bk == 0 and d % 64 == 0 and s % 128 == 0 and sk % 128 == 0
+    return (
+        _fit_block(s, block_q) is not None
+        and _fit_block(sk, block_k) is not None
+        and d % 64 == 0
+        and s % 128 == 0
+        and sk % 128 == 0
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -321,7 +336,8 @@ def flash_attention_vjp(query, key, value, attn_mask, scale, is_causal, block_q,
 def _flash_attention_fwd_impl(query, key, value, attn_mask, scale, is_causal, block_q, block_k, interpret, need_lse=True):
     b, s, h, d = query.shape
     q, k, v, mask, pad = _prep(query, key, value, attn_mask, block_q, block_k)
-    bq, bk = min(block_q, s), min(block_k, key.shape[1])
+    bq = _fit_block(s, block_q) or min(block_q, s)
+    bk = _fit_block(key.shape[1], block_k) or min(block_k, key.shape[1])
     out, lse = _flash_fwd_bhsd(q, k, v, mask, scale=scale, is_causal=is_causal,
                                block_q=bq, block_k=bk, interpret=interpret, need_lse=need_lse)
     out_bshd = jnp.transpose(out, (0, 2, 1, 3))
@@ -344,7 +360,8 @@ def _vjp_bwd(scale, is_causal, block_q, block_k, interpret, residuals, g):
         g = jnp.pad(g, [(0, 0), (0, 0), (0, 0), (0, pad)])
     out_bhsd = jnp.transpose(out, (0, 2, 1, 3))
     do = jnp.transpose(g, (0, 2, 1, 3))
-    bq, bk = min(block_q, s), min(block_k, key.shape[1])
+    bq = _fit_block(s, block_q) or min(block_q, s)
+    bk = _fit_block(key.shape[1], block_k) or min(block_k, key.shape[1])
     dq, dk, dv = _flash_bwd_bhsd(q, k, v, mask, out_bhsd, lse, do, scale=scale,
                                  is_causal=is_causal, block_q=bq, block_k=bk, interpret=interpret)
     dq = jnp.transpose(dq, (0, 2, 1, 3))
@@ -380,5 +397,6 @@ def flash_attention_full(
         from ..attention import _native_attention
 
         return _native_attention(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
-    bq, bk = min(block_q, query.shape[1]), min(block_k, key.shape[1])
+    bq = _fit_block(query.shape[1], block_q)
+    bk = _fit_block(key.shape[1], block_k)
     return flash_attention_vjp(query, key, value, attn_mask, scale, is_causal, bq, bk, interpret)

@@ -73,6 +73,11 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "FlowMatchHeunDiscreteScheduler": "diffusers_tpu.schedulers.scheduling_flow_match_heun_discrete.FlowMatchHeunDiscreteScheduler",
     "SCMScheduler": "diffusers_tpu.schedulers.scheduling_scm.SCMScheduler",
     "DPMSolverSDEScheduler": "diffusers_tpu.schedulers.scheduling_dpmsolver_sde.DPMSolverSDEScheduler",
+    "ScoreSdeVeScheduler": "diffusers_tpu.schedulers.scheduling_sde_ve.ScoreSdeVeScheduler",
+    "AmusedScheduler": "diffusers_tpu.schedulers.scheduling_amused.AmusedScheduler",
+    "CosineDPMSolverMultistepScheduler": "diffusers_tpu.schedulers.scheduling_cosine_dpmsolver_multistep.CosineDPMSolverMultistepScheduler",
+    "FlowMatchLCMScheduler": "diffusers_tpu.schedulers.scheduling_flow_match_lcm.FlowMatchLCMScheduler",
+    "ConsistencyDecoderScheduler": "diffusers_tpu.schedulers.scheduling_consistency_decoder.ConsistencyDecoderScheduler",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "WanTransformer3DModel": "diffusers_tpu.models.transformers.transformer_wan.WanTransformer3DModel",
     "AutoencoderKLWan": "diffusers_tpu.models.autoencoders.autoencoder_kl_wan.AutoencoderKLWan",

@@ -72,3 +72,20 @@ from .scheduling_flow_match_heun_discrete import (
 from .scheduling_scm import SCMScheduler, SCMSchedulerOutput
 from .scheduling_dpmsolver_sde import DPMSolverSDEScheduler, DPMSolverSDESchedulerOutput
 from .scheduling_ddim_cogvideox import CogVideoXDDIMScheduler, CogVideoXDDIMSchedulerOutput
+from .scheduling_sde_ve import ScoreSdeVeScheduler, SdeVeOutput, ScoreSdeVeSchedulerState
+from .scheduling_amused import AmusedScheduler, AmusedSchedulerOutput, AmusedSchedulerState
+from .scheduling_cosine_dpmsolver_multistep import (
+    CosineDPMSolverMultistepScheduler,
+    CosineDPMSolverMultistepSchedulerOutput,
+    CosineDPMSolverMultistepSchedulerState,
+)
+from .scheduling_flow_match_lcm import (
+    FlowMatchLCMScheduler,
+    FlowMatchLCMSchedulerOutput,
+    FlowMatchLCMSchedulerState,
+)
+from .scheduling_consistency_decoder import (
+    ConsistencyDecoderScheduler,
+    ConsistencyDecoderSchedulerOutput,
+    ConsistencyDecoderSchedulerState,
+)
