@@ -140,6 +140,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AdaptiveProjectedMixGuidance": "diffusers_tpu.guiders.adaptive_projected_guidance_mix.AdaptiveProjectedMixGuidance",
     "ShapERenderer": "diffusers_tpu.pipelines.shap_e.renderer.ShapERenderer",
     "PRXTransformer2DModel": "diffusers_tpu.models.transformers.transformer_prx.PRXTransformer2DModel",
+    "ChronoEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_chronoedit.ChronoEditTransformer3DModel",
     "ClassifierFreeGuidance": "diffusers_tpu.guiders.classifier_free_guidance.ClassifierFreeGuidance",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
