@@ -109,3 +109,43 @@ def test_chronoedit_pipeline_smoke():
                key=key, max_sequence_length=8, output_type="np")
     video = np.asarray(out.frames)
     assert video.ndim == 5 and np.isfinite(video).all()
+
+
+def test_wan_i2v_two_stage_smoke():
+    """WanImageToVideoPipeline: FLF conditioning + Wan-2.2 boundary two-stage."""
+    from diffusers_tpu.models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
+    from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
+    from diffusers_tpu.models.transformers.transformer_wan import WanTransformer3DModel
+    from diffusers_tpu.pipelines.wan import WanImageToVideoPipeline
+    from diffusers_tpu.schedulers import UniPCMultistepScheduler
+    from tests.test_pipeline_wan import DummyTokenizer
+
+    key = jax.random.PRNGKey(0)
+    tf_kwargs = dict(patch_size=(1, 2, 2), num_attention_heads=2, attention_head_dim=12,
+                     in_channels=10, out_channels=4, text_dim=16, freq_dim=16, ffn_dim=32,
+                     num_layers=1, cross_attn_norm=True, rope_max_seq_len=64)
+    t1 = WanTransformer3DModel(**tf_kwargs)
+    t2 = WanTransformer3DModel(**tf_kwargs)
+    vae = AutoencoderKLWan(
+        base_dim=16, z_dim=4, dim_mult=[1, 2], num_res_blocks=1, attn_scales=[],
+        temperal_downsample=[True, False], latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
+        scale_factor_temporal=2, scale_factor_spatial=2,
+    )
+    t5 = T5EncoderModel(vocab_size=512, d_model=16, d_kv=8, d_ff=32, num_layers=1, num_heads=2,
+                        feed_forward_proj="gated-gelu")
+    scheduler = UniPCMultistepScheduler(prediction_type="flow_prediction", use_flow_sigmas=True,
+                                        flow_shift=3.0)
+    pipe = WanImageToVideoPipeline(
+        tokenizer=DummyTokenizer(), text_encoder=(t5, t5.init_params(key)),
+        transformer=(t1, t1.init_params(key)), vae=(vae, vae.init_params(key)),
+        scheduler=scheduler, transformer_2=(t2, t2.init_params(jax.random.PRNGKey(1))),
+        boundary_ratio=0.5,
+    )
+    rng = np.random.RandomState(0)
+    first = Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8))
+    last = Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8))
+    out = pipe(image=first, last_image=last, prompt="a drifting boat", height=32, width=32,
+               num_frames=9, num_inference_steps=4, guidance_scale=2.0, guidance_scale_2=1.5,
+               key=key, max_sequence_length=8, output_type="np")
+    video = np.asarray(out.frames)
+    assert video.ndim == 5 and np.isfinite(video).all()
