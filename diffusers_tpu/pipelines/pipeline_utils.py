@@ -141,6 +141,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "ShapERenderer": "diffusers_tpu.pipelines.shap_e.renderer.ShapERenderer",
     "PRXTransformer2DModel": "diffusers_tpu.models.transformers.transformer_prx.PRXTransformer2DModel",
     "ChronoEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_chronoedit.ChronoEditTransformer3DModel",
+    "LongCatImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_longcat_image.LongCatImageTransformer2DModel",
     "ClassifierFreeGuidance": "diffusers_tpu.guiders.classifier_free_guidance.ClassifierFreeGuidance",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
