@@ -162,9 +162,13 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
 
     def __call__(self, params: Params, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
+                 position_ids: Optional[jax.Array] = None,
                  output_hidden_states: bool = False) -> LlamaEncoderOutput:
         x = self.embed_tokens(params["embed_tokens"], input_ids)
-        positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]), input_ids.shape)
+        if position_ids is not None:
+            positions = position_ids
+        else:
+            positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]), input_ids.shape)
         hidden_states = [x] if output_hidden_states else None
         for i, layer in enumerate(self.layers):
             x = layer(params["layers"][i], x, positions, attention_mask)
@@ -197,7 +201,7 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
         extra = {}
         # Qwen3 towers: per-head q/k RMSNorm (transformers Qwen3Attention);
         # Qwen2 towers: qkv projection bias
-        if full.get("model_type") in ("qwen3", "qwen3_moe"):
+        if full.get("model_type") in ("qwen3", "qwen3_moe", "qwen3_vl", "qwen3_vl_moe", "qwen3_vl_text"):
             extra["qk_norm"] = True
         if full.get("model_type", "").startswith("qwen2") or full.get("attention_bias"):
             extra["attention_bias"] = True
