@@ -22,8 +22,11 @@ def normalized_guidance(
     eta: float = 1.0,
     norm_threshold: float = 0.0,
     use_original_formulation: bool = False,
+    norm_axes: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    axes = tuple(range(1, pred_cond.ndim))
+    # norm_axes mirrors the reference's `norm_dim` (ACE-Step normalizes over
+    # the time axis only); default is all non-batch axes.
+    axes = tuple(range(1, pred_cond.ndim)) if norm_axes is None else tuple(norm_axes)
     diff = pred_cond - pred_uncond
     new_momentum = None
     if momentum is not None:

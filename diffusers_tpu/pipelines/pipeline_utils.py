@@ -66,6 +66,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "CMStochasticIterativeScheduler": "diffusers_tpu.schedulers.scheduling_consistency_models.CMStochasticIterativeScheduler",
     "EDMDPMSolverMultistepScheduler": "diffusers_tpu.schedulers.scheduling_edm_dpmsolver_multistep.EDMDPMSolverMultistepScheduler",
     "RePaintScheduler": "diffusers_tpu.schedulers.scheduling_repaint.RePaintScheduler",
+    "CogVideoXDDIMScheduler": "diffusers_tpu.schedulers.scheduling_ddim_cogvideox.CogVideoXDDIMScheduler",
     "UnCLIPScheduler": "diffusers_tpu.schedulers.scheduling_unclip.UnCLIPScheduler",
     "SASolverScheduler": "diffusers_tpu.schedulers.scheduling_sasolver.SASolverScheduler",
     "DDIMInverseScheduler": "diffusers_tpu.schedulers.scheduling_ddim_inverse.DDIMInverseScheduler",
@@ -142,6 +143,15 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "PRXTransformer2DModel": "diffusers_tpu.models.transformers.transformer_prx.PRXTransformer2DModel",
     "ChronoEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_chronoedit.ChronoEditTransformer3DModel",
     "LongCatImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_longcat_image.LongCatImageTransformer2DModel",
+    "Krea2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_krea2.Krea2Transformer2DModel",
+    "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
+    "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
+    "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
+    "AceStepConditionEncoder": "diffusers_tpu.pipelines.ace_step.modeling_ace_step.AceStepConditionEncoder",
+    "AceStepAudioTokenizer": "diffusers_tpu.pipelines.ace_step.modeling_ace_step.AceStepAudioTokenizer",
+    "AceStepAudioTokenDetokenizer": "diffusers_tpu.pipelines.ace_step.modeling_ace_step.AceStepAudioTokenDetokenizer",
+    "AceStepLyricEncoder": "diffusers_tpu.pipelines.ace_step.modeling_ace_step.AceStepLyricEncoder",
+    "AceStepTimbreEncoder": "diffusers_tpu.pipelines.ace_step.modeling_ace_step.AceStepTimbreEncoder",
     "ClassifierFreeGuidance": "diffusers_tpu.guiders.classifier_free_guidance.ClassifierFreeGuidance",
     "HunyuanVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video.HunyuanVideoTransformer3DModel",
     "AutoencoderKLHunyuanVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuan_video.AutoencoderKLHunyuanVideo",
@@ -165,6 +175,8 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "Qwen3Model": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
     "T5GemmaEncoderModel": "diffusers_tpu.models.text_encoders.gemma.T5GemmaEncoderModel",
     "Qwen3ForCausalLM": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "Qwen3VLModel": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
+    "Qwen3VLForConditionalGeneration": "diffusers_tpu.models.text_encoders.llama.LlamaModel",
     "Gemma3ForConditionalGeneration": "diffusers_tpu.models.text_encoders.gemma.Gemma3ForConditionalGeneration",
     "Gemma3TextModel": "diffusers_tpu.models.text_encoders.gemma.Gemma3TextModel",
     "MultilingualCLIP": "diffusers_tpu.models.text_encoders.xlm_roberta.MultilingualCLIP",
