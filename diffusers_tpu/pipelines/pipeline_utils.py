@@ -144,6 +144,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "ChronoEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_chronoedit.ChronoEditTransformer3DModel",
     "LongCatImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_longcat_image.LongCatImageTransformer2DModel",
     "Krea2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_krea2.Krea2Transformer2DModel",
+    "LongCatAudioDiTTransformer": "diffusers_tpu.models.transformers.transformer_longcat_audio_dit.LongCatAudioDiTTransformer",
+    "LongCatAudioDiTVae": "diffusers_tpu.models.autoencoders.autoencoder_longcat_audio_dit.LongCatAudioDiTVae",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
