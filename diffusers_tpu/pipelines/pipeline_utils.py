@@ -146,6 +146,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "Krea2Transformer2DModel": "diffusers_tpu.models.transformers.transformer_krea2.Krea2Transformer2DModel",
     "LongCatAudioDiTTransformer": "diffusers_tpu.models.transformers.transformer_longcat_audio_dit.LongCatAudioDiTTransformer",
     "LongCatAudioDiTVae": "diffusers_tpu.models.autoencoders.autoencoder_longcat_audio_dit.LongCatAudioDiTVae",
+    "ErnieImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_ernie_image.ErnieImageTransformer2DModel",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
