@@ -66,6 +66,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "CMStochasticIterativeScheduler": "diffusers_tpu.schedulers.scheduling_consistency_models.CMStochasticIterativeScheduler",
     "EDMDPMSolverMultistepScheduler": "diffusers_tpu.schedulers.scheduling_edm_dpmsolver_multistep.EDMDPMSolverMultistepScheduler",
     "RePaintScheduler": "diffusers_tpu.schedulers.scheduling_repaint.RePaintScheduler",
+    "BlockRefinementScheduler": "diffusers_tpu.schedulers.scheduling_block_refinement.BlockRefinementScheduler",
+    "DiscreteDDIMScheduler": "diffusers_tpu.schedulers.scheduling_discrete_ddim.DiscreteDDIMScheduler",
+    "EntropyBoundScheduler": "diffusers_tpu.schedulers.scheduling_entropy_bound.EntropyBoundScheduler",
     "CogVideoXDDIMScheduler": "diffusers_tpu.schedulers.scheduling_ddim_cogvideox.CogVideoXDDIMScheduler",
     "UnCLIPScheduler": "diffusers_tpu.schedulers.scheduling_unclip.UnCLIPScheduler",
     "SASolverScheduler": "diffusers_tpu.schedulers.scheduling_sasolver.SASolverScheduler",
@@ -147,6 +150,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LongCatAudioDiTTransformer": "diffusers_tpu.models.transformers.transformer_longcat_audio_dit.LongCatAudioDiTTransformer",
     "LongCatAudioDiTVae": "diffusers_tpu.models.autoencoders.autoencoder_longcat_audio_dit.LongCatAudioDiTVae",
     "ErnieImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_ernie_image.ErnieImageTransformer2DModel",
+    "DiffusionGemmaDenoiser": "diffusers_tpu.pipelines.diffusion_gemma.pipeline_diffusion_gemma.DiffusionGemmaDenoiser",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",

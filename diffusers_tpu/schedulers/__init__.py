@@ -89,3 +89,18 @@ from .scheduling_consistency_decoder import (
     ConsistencyDecoderSchedulerOutput,
     ConsistencyDecoderSchedulerState,
 )
+from .scheduling_block_refinement import (
+    BlockRefinementScheduler,
+    BlockRefinementSchedulerOutput,
+    BlockRefinementSchedulerState,
+)
+from .scheduling_discrete_ddim import (
+    DiscreteDDIMScheduler,
+    DiscreteDDIMSchedulerOutput,
+    DiscreteDDIMSchedulerState,
+)
+from .scheduling_entropy_bound import (
+    EntropyBoundScheduler,
+    EntropyBoundSchedulerOutput,
+    EntropyBoundSchedulerState,
+)
