@@ -234,6 +234,46 @@ class BlockRefinementScheduler(SchedulerMixin, ConfigMixin):
             editing_transfer_index=editing_transfer_index, sampled_tokens=sampled_tokens,
             sampled_probs=sampled_probs, pred_logits=model_output, state=state)
 
+    @staticmethod
+    def check_eos_finished(cur_x, sampled_tokens, final_transfer, finished,
+                           eos_token_id: int, mask_token_id: int, prompt_length: int):
+        """Host-side per-row finished update on committed EOS (reference :365)."""
+        cur_x = np.asarray(cur_x)
+        sampled_tokens = np.asarray(sampled_tokens)
+        final_transfer = np.asarray(final_transfer)
+        finished = np.asarray(finished).copy()
+        for b in range(cur_x.shape[0]):
+            if finished[b]:
+                continue
+            if not (sampled_tokens[b][final_transfer[b]] == eos_token_id).any():
+                continue
+            hits = np.nonzero(cur_x[b] == eos_token_id)[0]
+            if hits.size == 0:
+                continue
+            eos_pos = int(hits[0])
+            if eos_pos < prompt_length:
+                continue
+            if (cur_x[b, prompt_length:eos_pos] != mask_token_id).all():
+                finished[b] = True
+        return finished
+
+    def check_block_should_continue(self, num_inference_steps: int, step_idx: int,
+                                    masks_remaining: bool, editing_enabled: bool,
+                                    editing_transfer_index, post_steps: int,
+                                    max_post_steps: int, finished) -> bool:
+        """Inner refinement loop continuation predicate (reference :413)."""
+        if np.asarray(finished).all():
+            return False
+        if not masks_remaining and not editing_enabled:
+            return False
+        if not masks_remaining and not np.asarray(editing_transfer_index).any():
+            return False
+        if masks_remaining and step_idx >= num_inference_steps:
+            return False
+        if not masks_remaining and post_steps > max_post_steps:
+            return False
+        return True
+
     def add_noise(self, original_samples: jax.Array, attention_mask: jax.Array,
                   prompt_length: int, block_length: int, mask_token_id: int,
                   key: Optional[jax.Array] = None):
