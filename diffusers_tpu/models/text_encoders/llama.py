@@ -163,7 +163,8 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
     def __call__(self, params: Params, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
                  position_ids: Optional[jax.Array] = None,
-                 output_hidden_states: bool = False) -> LlamaEncoderOutput:
+                 output_hidden_states: bool = False,
+                 normalize_last_hidden_state: bool = True) -> LlamaEncoderOutput:
         x = self.embed_tokens(params["embed_tokens"], input_ids)
         if position_ids is not None:
             positions = position_ids
@@ -175,7 +176,7 @@ class LlamaModel(Module, ModelMixin, ConfigMixin):
             if output_hidden_states:
                 hidden_states.append(x)
         x = self.norm(params["norm"], x)
-        if output_hidden_states:
+        if output_hidden_states and normalize_last_hidden_state:
             hidden_states[-1] = x  # transformers replaces the last entry with the normed output
         return LlamaEncoderOutput(
             last_hidden_state=x,

@@ -154,6 +154,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LLaDA2Denoiser": "diffusers_tpu.pipelines.llada2.pipeline_llada2.LLaDA2Denoiser",
     "NucleusMoEImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_nucleusmoe_image.NucleusMoEImageTransformer2DModel",
     "OvisImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_ovis_image.OvisImageTransformer2DModel",
+    "Ideogram4Transformer2DModel": "diffusers_tpu.models.transformers.transformer_ideogram4.Ideogram4Transformer2DModel",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
