@@ -155,6 +155,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "NucleusMoEImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_nucleusmoe_image.NucleusMoEImageTransformer2DModel",
     "OvisImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_ovis_image.OvisImageTransformer2DModel",
     "Ideogram4Transformer2DModel": "diffusers_tpu.models.transformers.transformer_ideogram4.Ideogram4Transformer2DModel",
+    "HunyuanDiT2DControlNetModel": "diffusers_tpu.models.controlnets.controlnet_hunyuan.HunyuanDiT2DControlNetModel",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
