@@ -1,0 +1,242 @@
+"""DreamLite text-to-image / instruction-edit pipeline.
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/pipelines/dreamlite/pipeline_dreamlite.py:155`
+DreamLitePipeline): Qwen3-VL captioning templates with template-prefix drop
+(34 generate / 64 edit tokens), masked hidden-state repacking, the
+`[Generate]:` / `[Edit]:` diptych prompt prefixes, WIDTH-concatenated image
+conditioning (`model_input = cat([x_t, image_latents], dim=3)`, `:540`),
+single CFG for T2I and dual text+image CFG for editing (`:556`), dynamic
+flow shift with max_shift 1.16, AutoencoderTiny decode.
+
+TPU-first: the whole loop (2- or 3-way CFG folded into the batch) is one
+scanned jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...image_processor import VaeImageProcessor
+from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
+from ...utils import BaseOutput, logging
+from ...utils.jax_utils import randn_tensor
+from ..pipeline_utils import DiffusionPipeline
+
+logger = logging.get_logger(__name__)
+
+
+@dataclass
+class DreamLitePipelineOutput(BaseOutput):
+    images: Union[List, np.ndarray]
+
+
+class DreamLitePipeline(DiffusionPipeline):
+    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig")
+    _optional_components = ["processor"]
+
+    def __init__(self, text_encoder, tokenizer, processor, vae, unet, scheduler):
+        super().__init__()
+        self.register_modules(text_encoder=text_encoder, tokenizer=tokenizer,
+                              processor=processor, vae=vae, unet=unet, scheduler=scheduler)
+        cfg = vae[0].config if vae is not None else {}
+        if "encoder_block_out_channels" in cfg:
+            self.vae_scale_factor = 2 ** (len(cfg["encoder_block_out_channels"]) - 1)
+        else:
+            self.vae_scale_factor = 8
+        self.image_processor = VaeImageProcessor(vae_scale_factor=self.vae_scale_factor * 2)
+        self.default_sample_size = 128
+        self.prompt_template_encode_generate = (
+            "<|im_start|>system\nDescribe the image by detailing the color, shape, size, texture, "
+            "quantity, text, spatial relationships of the objects and background:<|im_end|>\n"
+            "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+        )
+        self.prompt_template_encode_generate_start_idx = 34
+        self.prompt_template_encode_edit = (
+            "<|im_start|>system\nDescribe the key features of the input image (color, shape, size, "
+            "texture, objects, background), then explain how the user's text instruction should alter "
+            "or modify the image. Generate a new image that meets the user's requirements while "
+            "maintaining consistency with the original input where appropriate.<|im_end|>\n"
+            "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>{}<|im_end|>\n"
+            "<|im_start|>assistant\n"
+        )
+        self.prompt_template_encode_edit_start_idx = 64
+
+    def encode_prompt(self, mode: str, prompts: List[str], image=None,
+                      max_sequence_length: int = 500, text_pad_embedding=None):
+        text_encoder, te_params = self.text_encoder
+        if mode == "edit":
+            template = self.prompt_template_encode_edit
+            drop_idx = self.prompt_template_encode_edit_start_idx
+            txts = [template.format(p) for p in prompts]
+            tk = self.processor(text=txts, images=[image] * len(prompts), padding=True,
+                                return_tensors="np")
+        elif mode == "generate":
+            template = self.prompt_template_encode_generate
+            drop_idx = self.prompt_template_encode_generate_start_idx
+            txts = [template.format(p) for p in prompts]
+            tk = self.tokenizer(text=txts, max_length=max_sequence_length + drop_idx,
+                                padding=True, truncation=True, return_tensors="np")
+        else:
+            raise ValueError(f"Unknown mode: {mode!r}")
+
+        ids = np.asarray(tk["input_ids"])
+        mask = np.asarray(tk["attention_mask"])
+        out = text_encoder(te_params, jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+                           output_hidden_states=True)
+        hidden = np.asarray(out.hidden_states[-1])
+
+        # repack each row's valid tokens, drop the template prefix, right-pad
+        split = []
+        for b in range(hidden.shape[0]):
+            seq = hidden[b][mask[b].astype(bool)][drop_idx:]
+            split.append(seq)
+        L = max(s.shape[0] for s in split)
+        embeds = np.zeros((len(split), L, hidden.shape[-1]), hidden.dtype)
+        embed_mask = np.zeros((len(split), L), np.int64)
+        for b, seq in enumerate(split):
+            embeds[b, : seq.shape[0]] = seq
+            embed_mask[b, : seq.shape[0]] = 1
+        embeds = jnp.asarray(embeds)
+        if text_pad_embedding is not None:
+            pad = jnp.asarray(text_pad_embedding).reshape(1, 1, -1)
+            m = jnp.asarray(embed_mask)[..., None].astype(embeds.dtype)
+            embeds = embeds * m + pad * (1 - m)
+        return embeds, jnp.asarray(embed_mask)
+
+    def _denoise(self, u_params, latents, image_latents, uncond_image_latents,
+                 prompt_embeds, text_mask, add_time_ids, timesteps, state,
+                 guidance_scale, image_guidance_scale, task):
+        unet = self.unet[0]
+        from ...hooks.generic_cache import denoise_scan
+
+        n_branches = 2 if task == "generate" else 3
+        bool_mask = text_mask.astype(bool)[:, None, None, :]
+
+        def forward(lat, t, sstate):
+            lat_in = jnp.concatenate([lat] * n_branches, axis=0)
+            if task == "generate":
+                cond = jnp.concatenate([image_latents] * 2, axis=0)
+            else:
+                cond = jnp.concatenate([uncond_image_latents, image_latents, image_latents],
+                                       axis=0)
+            model_in = jnp.concatenate([lat_in, cond], axis=3)  # width concat
+            tt = jnp.broadcast_to(t, (model_in.shape[0],)).astype(lat.dtype)
+            pred = unet(u_params, model_in, tt, prompt_embeds,
+                        encoder_attention_mask=bool_mask,
+                        added_cond_kwargs={"time_ids": add_time_ids}).sample
+            pred = pred[..., : lat.shape[-1]]
+            if task == "generate":
+                uncond, cond_p = jnp.split(pred, 2, axis=0)
+                return uncond + guidance_scale * (cond_p - uncond)
+            uncond, img_p, txt_p = jnp.split(pred, 3, axis=0)
+            return (uncond + guidance_scale * (txt_p - img_p)
+                    + image_guidance_scale * (img_p - uncond))
+
+        return denoise_scan(forward, self.scheduler, latents, state, timesteps,
+                            getattr(self, "_cache_config", None))
+
+    def __call__(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        image=None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        guidance_scale: float = 3.5,
+        image_guidance_scale: float = 1.5,
+        num_inference_steps: int = 30,
+        sigmas: Optional[List[float]] = None,
+        key: Optional[jax.Array] = None,
+        output_type: str = "pil",
+        return_dict: bool = True,
+        max_sequence_length: int = 200,
+        text_pad_embedding=None,
+    ):
+        unet, u_params = self.unet
+        vae, vae_params = self.vae
+        height = height or self.default_sample_size * self.vae_scale_factor
+        width = width or self.default_sample_size * self.vae_scale_factor
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        negative_prompt = negative_prompt or ""
+        task = "generate" if image is None else "edit"
+
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1 / num_inference_steps, num_inference_steps)
+
+        add_time_ids = jnp.asarray([[width, height]], jnp.float32)
+
+        num_channels_latents = vae.config.latent_channels
+        lh = height // self.vae_scale_factor
+        lw = width // self.vae_scale_factor
+        key, lat_key = jax.random.split(key)
+        latents = randn_tensor((1, num_channels_latents, lh, lw), key=lat_key)
+
+        image_seq_len = lh * lw // 4
+        mu = calculate_shift(
+            image_seq_len,
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.16),
+        )
+        try:
+            state = self.scheduler.set_timesteps(num_inference_steps, sigmas=list(sigmas), mu=mu)
+        except (TypeError, ValueError):
+            state = self.scheduler.set_timesteps(num_inference_steps)
+
+        uncond_image_latents = jnp.zeros_like(latents)
+        if task == "generate":
+            prompt_embeds, text_mask = self.encode_prompt(
+                "generate", [negative_prompt, f"[Generate]: {prompt}"],
+                max_sequence_length=max_sequence_length,
+                text_pad_embedding=text_pad_embedding)
+            image_latents = jnp.zeros_like(latents)
+            n_branches = 2
+        else:
+            edit_prompt = (
+                "[Edit]: A diptych with two side-by-side images of the same scene. "
+                f"Compared to the right side, the left one has {prompt}"
+            )
+            prompt_embeds, text_mask = self.encode_prompt(
+                "edit", [negative_prompt, negative_prompt, edit_prompt], image=image,
+                text_pad_embedding=text_pad_embedding)
+            img = jnp.asarray(np.asarray(image, np.float32))
+            if img.ndim == 3:
+                img = img[None]
+            enc_out = vae.encode(vae_params, img)
+            image_latents = enc_out.latents if hasattr(enc_out, "latents") else enc_out
+            image_latents = image_latents * vae.config.scaling_factor
+            n_branches = 3
+
+        # time ids replicated per CFG branch (reference `:543`)
+        time_ids_in = jnp.concatenate([add_time_ids] * n_branches, axis=0)
+
+        denoise = self._jit(
+            "denoise",
+            partial(self._denoise, guidance_scale=float(guidance_scale),
+                    image_guidance_scale=float(image_guidance_scale), task=task),
+            static=(float(guidance_scale), float(image_guidance_scale), task),
+        )
+        latents = denoise(u_params, latents, image_latents, uncond_image_latents,
+                          prompt_embeds, text_mask, time_ids_in, state.timesteps, state)
+
+        if output_type == "latent":
+            image_out = latents
+        else:
+            shift_factor = vae.config.get("shift_factor") or 0.0
+            lat = latents / vae.config.scaling_factor + shift_factor
+            decode = self._jit("decode", lambda p, z: vae.decode(p, z).sample)
+            image_out = decode(vae_params, lat)
+            image_out = self.image_processor.postprocess(image_out, output_type=output_type)
+
+        if not return_dict:
+            return (image_out,)
+        return DreamLitePipelineOutput(images=image_out)

@@ -156,6 +156,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "OvisImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_ovis_image.OvisImageTransformer2DModel",
     "Ideogram4Transformer2DModel": "diffusers_tpu.models.transformers.transformer_ideogram4.Ideogram4Transformer2DModel",
     "HunyuanDiT2DControlNetModel": "diffusers_tpu.models.controlnets.controlnet_hunyuan.HunyuanDiT2DControlNetModel",
+    "DreamLiteUNetModel": "diffusers_tpu.models.unets.unet_dreamlite.DreamLiteUNetModel",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
