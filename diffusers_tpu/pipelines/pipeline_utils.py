@@ -157,6 +157,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "Ideogram4Transformer2DModel": "diffusers_tpu.models.transformers.transformer_ideogram4.Ideogram4Transformer2DModel",
     "HunyuanDiT2DControlNetModel": "diffusers_tpu.models.controlnets.controlnet_hunyuan.HunyuanDiT2DControlNetModel",
     "DreamLiteUNetModel": "diffusers_tpu.models.unets.unet_dreamlite.DreamLiteUNetModel",
+    "ConsisIDTransformer3DModel": "diffusers_tpu.models.transformers.consisid_transformer_3d.ConsisIDTransformer3DModel",
+    "CogVideoXDPMScheduler": "diffusers_tpu.schedulers.scheduling_dpm_cogvideox.CogVideoXDPMScheduler",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",

@@ -104,3 +104,4 @@ from .scheduling_entropy_bound import (
     EntropyBoundSchedulerOutput,
     EntropyBoundSchedulerState,
 )
+from .scheduling_dpm_cogvideox import CogVideoXDPMScheduler, CogVideoXDPMSchedulerOutput
