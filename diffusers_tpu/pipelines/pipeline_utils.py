@@ -159,6 +159,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "DreamLiteUNetModel": "diffusers_tpu.models.unets.unet_dreamlite.DreamLiteUNetModel",
     "ConsisIDTransformer3DModel": "diffusers_tpu.models.transformers.consisid_transformer_3d.ConsisIDTransformer3DModel",
     "CogVideoXDPMScheduler": "diffusers_tpu.schedulers.scheduling_dpm_cogvideox.CogVideoXDPMScheduler",
+    "AnyFlowTransformer3DModel": "diffusers_tpu.models.transformers.transformer_anyflow.AnyFlowTransformer3DModel",
+    "FlowMapEulerDiscreteScheduler": "diffusers_tpu.schedulers.scheduling_flow_map_euler_discrete.FlowMapEulerDiscreteScheduler",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",

@@ -105,3 +105,8 @@ from .scheduling_entropy_bound import (
     EntropyBoundSchedulerState,
 )
 from .scheduling_dpm_cogvideox import CogVideoXDPMScheduler, CogVideoXDPMSchedulerOutput
+from .scheduling_flow_map_euler_discrete import (
+    FlowMapEulerDiscreteScheduler,
+    FlowMapEulerDiscreteSchedulerOutput,
+    FlowMapEulerDiscreteSchedulerState,
+)
