@@ -161,6 +161,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "CogVideoXDPMScheduler": "diffusers_tpu.schedulers.scheduling_dpm_cogvideox.CogVideoXDPMScheduler",
     "AnyFlowTransformer3DModel": "diffusers_tpu.models.transformers.transformer_anyflow.AnyFlowTransformer3DModel",
     "FlowMapEulerDiscreteScheduler": "diffusers_tpu.schedulers.scheduling_flow_map_euler_discrete.FlowMapEulerDiscreteScheduler",
+    "MotifVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_motif_video.MotifVideoTransformer3DModel",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
