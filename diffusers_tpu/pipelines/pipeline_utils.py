@@ -163,6 +163,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "FlowMapEulerDiscreteScheduler": "diffusers_tpu.schedulers.scheduling_flow_map_euler_discrete.FlowMapEulerDiscreteScheduler",
     "MotifVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_motif_video.MotifVideoTransformer3DModel",
     "JoyImageEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_joyimage.JoyImageEditTransformer3DModel",
+    "BriaFiboTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria_fibo.BriaFiboTransformer2DModel",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
