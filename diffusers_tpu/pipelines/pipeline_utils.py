@@ -164,6 +164,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "MotifVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_motif_video.MotifVideoTransformer3DModel",
     "JoyImageEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_joyimage.JoyImageEditTransformer3DModel",
     "BriaFiboTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria_fibo.BriaFiboTransformer2DModel",
+    "HunyuanVideo15Transformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video15.HunyuanVideo15Transformer3DModel",
+    "AutoencoderKLHunyuanVideo15": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuanvideo15.AutoencoderKLHunyuanVideo15",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",
     "CogVideoXTransformer3DModel": "diffusers_tpu.models.transformers.cogvideox_transformer_3d.CogVideoXTransformer3DModel",
     "AutoencoderKLCogVideoX": "diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox.AutoencoderKLCogVideoX",
