@@ -99,7 +99,7 @@ class PipelineTesterMixin:
         one = self._run(pipe, **{self.batch_param: prompt, "output_type": "latent"})
         two = self._run(pipe, **{self.batch_param: [prompt, prompt], "output_type": "latent"})
         assert two.shape[0] == 2 * one.shape[0], (two.shape, one.shape)
-        np.testing.assert_allclose(two[: one.shape[0]], one, atol=2e-4)
+        np.testing.assert_allclose(two[: one.shape[0]], one, rtol=1e-5, atol=2e-4)
 
     def test_cfg_on_off(self):
         """Guidance on vs off must both be finite and actually differ."""
