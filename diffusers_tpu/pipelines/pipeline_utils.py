@@ -164,6 +164,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "MotifVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_motif_video.MotifVideoTransformer3DModel",
     "JoyImageEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_joyimage.JoyImageEditTransformer3DModel",
     "BriaFiboTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria_fibo.BriaFiboTransformer2DModel",
+    "HeliosTransformer3DModel": "diffusers_tpu.models.transformers.transformer_helios.HeliosTransformer3DModel",
+    "HeliosScheduler": "diffusers_tpu.schedulers.scheduling_helios.HeliosScheduler",
+    "HeliosDMDScheduler": "diffusers_tpu.schedulers.scheduling_helios_dmd.HeliosDMDScheduler",
     "HunyuanVideo15Transformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video15.HunyuanVideo15Transformer3DModel",
     "AutoencoderKLHunyuanVideo15": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuanvideo15.AutoencoderKLHunyuanVideo15",
     "AceStepTransformer1DModel": "diffusers_tpu.models.transformers.transformer_ace_step.AceStepTransformer1DModel",

@@ -31,6 +31,8 @@ from .scheduling_unipc_multistep import (
     UniPCMultistepSchedulerOutput,
     UniPCMultistepSchedulerState,
 )
+from .scheduling_helios import HeliosScheduler, HeliosSchedulerOutput, HeliosSchedulerState
+from .scheduling_helios_dmd import HeliosDMDScheduler, HeliosDMDSchedulerOutput, HeliosDMDSchedulerState
 from .scheduling_ddim_inverse import DDIMInverseScheduler, DDIMInverseSchedulerOutput, DDIMInverseSchedulerState
 from .scheduling_deis_multistep import DEISMultistepScheduler, DEISMultistepSchedulerOutput, DEISMultistepSchedulerState
 from .scheduling_tcd import TCDScheduler, TCDSchedulerOutput, TCDSchedulerState
