@@ -108,9 +108,10 @@ class HeliosScheduler(UniPCMultistepScheduler):
             self.sigmas_per_stage[i_s] = np.linspace(0.999, 0, T + 1)[:-1]
 
     def time_shift(self, mu, sigma, t):
-        if self.config.time_shift_type == "exponential":
-            return math.exp(mu) / (math.exp(mu) + (1 / t - 1) ** sigma)
-        return mu / (mu + (1 / t - 1) ** sigma)
+        with np.errstate(divide="ignore"):
+            if self.config.time_shift_type == "exponential":
+                return math.exp(mu) / (math.exp(mu) + (1 / t - 1) ** sigma)
+            return mu / (mu + (1 / t - 1) ** sigma)
 
     # ------------------------------------------------------------------ state
     def set_timesteps(

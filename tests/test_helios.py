@@ -267,3 +267,68 @@ def test_helios_from_pretrained_generate(tmp_path):
     video = np.asarray(out.frames)
     assert video.ndim == 5 and video.shape[0] == 1
     assert np.isfinite(video).all()
+
+
+def _tiny_pyramid_components(key):
+    """In-memory tiny components for the pyramid pipeline."""
+    from diffusers_tpu.models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
+    from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
+
+    cfg = dict(TF_TINY, num_layers=1, text_dim=16,
+               in_channels=4, out_channels=4)
+    transformer = HeliosTransformer3DModel(**cfg)
+    vae = AutoencoderKLWan(
+        base_dim=16, z_dim=4, dim_mult=[1, 2], num_res_blocks=1, attn_scales=[],
+        temperal_downsample=[False, True], latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
+        scale_factor_temporal=2, scale_factor_spatial=2)
+    t5 = T5EncoderModel(vocab_size=512, d_model=16, d_kv=8, d_ff=32, num_layers=1,
+                        num_heads=2, feed_forward_proj="gated-gelu")
+
+    class Tok:
+        def __call__(self, prompts, max_length=16, **kw):
+            ids, masks = [], []
+            for p in prompts:
+                n = 5
+                ids.append([((hash(p) + i * 31) % 400) + 2 for i in range(n)] + [1] + [0] * (max_length - n - 1))
+                masks.append([1] * (n + 1) + [0] * (max_length - n - 1))
+            return {"input_ids": np.array(ids), "attention_mask": np.array(masks)}
+
+    return (Tok(), (t5, t5.init_params(key)), (vae, vae.init_params(key)),
+            (transformer, transformer.init_params(key)))
+
+
+def test_helios_pyramid_generate():
+    from diffusers_tpu.pipelines.helios import HeliosPyramidPipeline
+
+    key = jax.random.PRNGKey(0)
+    tok, te, vae, tf_ = _tiny_pyramid_components(key)
+    scheduler = HeliosScheduler(stages=3, shift=1.0, scheduler_type="unipc",
+                                use_dynamic_shifting=True)
+    pipe = HeliosPyramidPipeline(tokenizer=tok, text_encoder=te, vae=vae,
+                                 scheduler=scheduler, transformer=tf_,
+                                 is_cfg_zero_star=True)
+    out = pipe("a river delta seen from above", negative_prompt="blurry",
+               height=16, width=16, num_frames=4, guidance_scale=3.0,
+               num_latent_frames_per_chunk=2, history_sizes=[2, 2, 1],
+               pyramid_num_inference_steps_list=[2, 2, 2],
+               key=jax.random.PRNGKey(0), max_sequence_length=12, output_type="np")
+    video = np.asarray(out.frames)
+    assert video.ndim == 5 and np.isfinite(video).all()
+
+
+def test_helios_pyramid_distilled_dmd_generate():
+    from diffusers_tpu.pipelines.helios import HeliosPyramidPipeline
+
+    key = jax.random.PRNGKey(1)
+    tok, te, vae, tf_ = _tiny_pyramid_components(key)
+    scheduler = HeliosDMDScheduler(stages=3, shift=1.0, use_dynamic_shifting=True,
+                                   time_shift_type="linear")
+    pipe = HeliosPyramidPipeline(tokenizer=tok, text_encoder=te, vae=vae,
+                                 scheduler=scheduler, transformer=tf_,
+                                 is_distilled=True)
+    out = pipe("a campfire at night", height=16, width=16, num_frames=4,
+               guidance_scale=1.0, num_latent_frames_per_chunk=2,
+               history_sizes=[2, 2, 1], pyramid_num_inference_steps_list=[1, 1, 1],
+               key=jax.random.PRNGKey(0), max_sequence_length=12, output_type="np")
+    video = np.asarray(out.frames)
+    assert video.ndim == 5 and np.isfinite(video).all()
