@@ -164,6 +164,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "MotifVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_motif_video.MotifVideoTransformer3DModel",
     "JoyImageEditTransformer3DModel": "diffusers_tpu.models.transformers.transformer_joyimage.JoyImageEditTransformer3DModel",
     "BriaFiboTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria_fibo.BriaFiboTransformer2DModel",
+    "AudioLDM2ProjectionModel": "diffusers_tpu.pipelines.audioldm2.modeling_audioldm2.AudioLDM2ProjectionModel",
+    "AudioLDM2UNet2DConditionModel": "diffusers_tpu.pipelines.audioldm2.modeling_audioldm2.AudioLDM2UNet2DConditionModel",
     "HeliosTransformer3DModel": "diffusers_tpu.models.transformers.transformer_helios.HeliosTransformer3DModel",
     "HeliosScheduler": "diffusers_tpu.schedulers.scheduling_helios.HeliosScheduler",
     "HeliosDMDScheduler": "diffusers_tpu.schedulers.scheduling_helios_dmd.HeliosDMDScheduler",
@@ -206,6 +208,11 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "Gemma3TextModel": "diffusers_tpu.models.text_encoders.gemma.Gemma3TextModel",
     "MultilingualCLIP": "diffusers_tpu.models.text_encoders.xlm_roberta.MultilingualCLIP",
     "XLMRobertaModel": "diffusers_tpu.models.text_encoders.xlm_roberta.MultilingualCLIP",
+    "ClapModel": "diffusers_tpu.models.text_encoders.clap.ClapTextModelWithProjection",
+    "ClapTextModelWithProjection": "diffusers_tpu.models.text_encoders.clap.ClapTextModelWithProjection",
+    "GPT2Model": "diffusers_tpu.models.text_encoders.gpt2.GPT2Model",
+    "GPT2LMHeadModel": "diffusers_tpu.models.text_encoders.gpt2.GPT2Model",
+    "SpeechT5HifiGan": "diffusers_tpu.pipelines.audioldm2.vocoder.SpeechT5HifiGan",
 }
 
 # loaded via transformers' own from_pretrained (pure-host preprocessing)
