@@ -166,6 +166,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "BriaFiboTransformer2DModel": "diffusers_tpu.models.transformers.transformer_bria_fibo.BriaFiboTransformer2DModel",
     "AudioLDM2ProjectionModel": "diffusers_tpu.pipelines.audioldm2.modeling_audioldm2.AudioLDM2ProjectionModel",
     "AudioLDM2UNet2DConditionModel": "diffusers_tpu.pipelines.audioldm2.modeling_audioldm2.AudioLDM2UNet2DConditionModel",
+    "GlmImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_glm_image.GlmImageTransformer2DModel",
     "HeliosTransformer3DModel": "diffusers_tpu.models.transformers.transformer_helios.HeliosTransformer3DModel",
     "HeliosScheduler": "diffusers_tpu.schedulers.scheduling_helios.HeliosScheduler",
     "HeliosDMDScheduler": "diffusers_tpu.schedulers.scheduling_helios_dmd.HeliosDMDScheduler",
