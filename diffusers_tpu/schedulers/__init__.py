@@ -31,6 +31,14 @@ from .scheduling_unipc_multistep import (
     UniPCMultistepSchedulerOutput,
     UniPCMultistepSchedulerState,
 )
+from .scheduling_ltx_euler_ancestral_rf import (
+    LTXEulerAncestralRFScheduler,
+    LTXEulerAncestralRFSchedulerOutput,
+    LTXEulerAncestralRFSchedulerState,
+)
+from .scheduling_minimax_h3 import MiniMaxH3Scheduler, MiniMaxH3SchedulerOutput, MiniMaxH3SchedulerState
+from .scheduling_vq_diffusion import VQDiffusionScheduler, VQDiffusionSchedulerOutput, VQDiffusionSchedulerState
+from .scheduling_dpmsolver_multistep_inverse import DPMSolverMultistepInverseScheduler
 from .scheduling_helios import HeliosScheduler, HeliosSchedulerOutput, HeliosSchedulerState
 from .scheduling_helios_dmd import HeliosDMDScheduler, HeliosDMDSchedulerOutput, HeliosDMDSchedulerState
 from .scheduling_ddim_inverse import DDIMInverseScheduler, DDIMInverseSchedulerOutput, DDIMInverseSchedulerState

@@ -1,5 +1,10 @@
-"""Round-3 scheduler additions vs the torch reference: SDE-VE, aMUSEd,
-cosine SDE-DPM++ (Stable Audio), flow-match LCM, consistency decoder."""
+"""Parity tests for the round-3 scheduler additions: LTX Euler-Ancestral RF,
+MiniMax-H3, VQ-Diffusion, inverse DPM-Solver++ multistep.
+
+Reference: `/root/reference/src/diffusers/schedulers/scheduling_ltx_euler_ancestral_rf.py:51`,
+`scheduling_minimax_h3.py:55`, `scheduling_vq_diffusion.py:142`,
+`scheduling_dpmsolver_multistep_inverse.py:283`.
+"""
 
 import sys
 
@@ -10,203 +15,142 @@ import pytest
 
 sys.path.insert(0, "/root/reference/src")
 
-from tests.test_schedulers_vs_reference import dummy_sample_deter
 
-
-def _import_torch_cosine():
-    """torchsde is not installed; the reference class only needs it for its
-    default Brownian noise sampler, which the test replaces — stub the module."""
-    import importlib.machinery
-    import types
-
-    if "torchsde" not in sys.modules:
-        fake = types.ModuleType("torchsde")
-        fake.BrownianInterval = object
-        fake.BrownianTree = object
-        fake.__spec__ = importlib.machinery.ModuleSpec("torchsde", None)
-        sys.modules["torchsde"] = fake
-    from diffusers.schedulers.scheduling_cosine_dpmsolver_multistep import (
-        CosineDPMSolverMultistepScheduler,
-    )
-
-    return CosineDPMSolverMultistepScheduler
-
-
-def test_cosine_dpmsolver_matches_reference():
+@pytest.mark.refparity
+def test_ltx_euler_ancestral_rf_parity():
     torch = pytest.importorskip("torch")
-    TorchCos = _import_torch_cosine()
+    from diffusers import LTXEulerAncestralRFScheduler as TorchSched
 
-    from diffusers_tpu.schedulers import CosineDPMSolverMultistepScheduler
+    from diffusers_tpu.schedulers import LTXEulerAncestralRFScheduler
 
-    cfg = dict(sigma_min=0.3, sigma_max=500, sigma_data=1.0, sigma_schedule="exponential",
-               prediction_type="v_prediction")
-    num_steps = 10
-    noise_seq = [np.random.RandomState(100 + i).randn(*dummy_sample_deter().shape).astype(np.float32)
-                 for i in range(num_steps)]
-
-    class FakeSampler:
-        def __init__(self, seq):
-            self.seq = list(seq)
-            self.i = 0
-
-        def __call__(self, s0, s1):
-            n = self.seq[self.i]
-            self.i += 1
-            return torch.from_numpy(n)
-
-    ref_s = TorchCos(**cfg)
-    ref_s.set_timesteps(num_steps)
-    ref_s.noise_sampler = FakeSampler(noise_seq)
-    sample_t = torch.from_numpy(dummy_sample_deter()) * ref_s.init_noise_sigma
-    for i, t in enumerate(ref_s.timesteps):
-        inp = ref_s.scale_model_input(sample_t, t)
-        residual = inp * float(t) / (float(t) + 1)
-        sample_t = ref_s.step(residual, t, sample_t).prev_sample
-    ref = sample_t.numpy()
-
-    ours_s = CosineDPMSolverMultistepScheduler(**cfg)
-    state = ours_s.set_timesteps(num_steps)
-    sample = jnp.asarray(dummy_sample_deter()) * state.init_noise_sigma
-    for i, t in enumerate(np.asarray(state.timesteps)):
-        inp = ours_s.scale_model_input(state, sample, t)
-        residual = inp * t / (t + 1)
-        out = ours_s.step(state, residual, t, sample, variance_noise=jnp.asarray(noise_seq[i]))
-        sample, state = out.prev_sample, out.state
-    ours = np.asarray(sample)
-    assert np.max(np.abs(ref - ours)) < 1e-3, np.max(np.abs(ref - ours))
-
-
-def test_flow_match_lcm_matches_reference():
-    torch = pytest.importorskip("torch")
-    from diffusers import FlowMatchLCMScheduler as TorchLCM
-
-    from diffusers_tpu.schedulers import FlowMatchLCMScheduler
-
-    cfg = dict(shift=3.0)
-    num_steps = 6
-    noise_seq = [np.random.RandomState(7 + i).randn(*dummy_sample_deter().shape).astype(np.float32)
-                 for i in range(num_steps)]
-
-    import diffusers.schedulers.scheduling_flow_match_lcm as M
-
-    ref_s = TorchLCM(**cfg)
-    ref_s.set_timesteps(num_steps)
-    sample_t = torch.from_numpy(dummy_sample_deter())
-    for i, t in enumerate(ref_s.timesteps):
-        residual = sample_t * float(t) / (float(t) + 1)
-        M.randn_tensor = lambda shape, generator=None, device=None, dtype=None, _n=noise_seq[i]: torch.from_numpy(_n)
-        sample_t = ref_s.step(residual, t, sample_t).prev_sample
-    ref = sample_t.numpy()
-
-    ours_s = FlowMatchLCMScheduler(**cfg)
-    state = ours_s.set_timesteps(num_steps)
-    sample = jnp.asarray(dummy_sample_deter())
-    for i, t in enumerate(np.asarray(state.timesteps)):
-        residual = sample * t / (t + 1)
-        out = ours_s.step(state, residual, t, sample, variance_noise=jnp.asarray(noise_seq[i]))
-        sample = out.prev_sample
-    ours = np.asarray(sample)
-    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
-
-
-def test_sde_ve_matches_reference():
-    torch = pytest.importorskip("torch")
-    from diffusers import ScoreSdeVeScheduler as TorchVe
-
-    from diffusers_tpu.schedulers import ScoreSdeVeScheduler
-
-    cfg = dict(num_train_timesteps=100, snr=0.15, sigma_min=0.01, sigma_max=100.0, sampling_eps=1e-3)
-    num_steps = 5
-    shape = dummy_sample_deter().shape
-    pred_noise = [np.random.RandomState(i).randn(*shape).astype(np.float32) for i in range(num_steps)]
-    corr_noise = [np.random.RandomState(50 + i).randn(*shape).astype(np.float32) for i in range(num_steps)]
-
-    import diffusers.schedulers.scheduling_sde_ve as M
-
-    ref_s = TorchVe(**cfg)
-    ref_s.set_timesteps(num_steps)
-    ref_s.set_sigmas(num_steps)
-    sample_t = torch.from_numpy(dummy_sample_deter()) * cfg["sigma_max"]
-    for i, t in enumerate(ref_s.timesteps):
-        score = -sample_t * 0.01
-        M.randn_tensor = lambda shape, layout=None, generator=None, device=None, dtype=None, _n=corr_noise[i]: torch.from_numpy(_n)
-        sample_t = ref_s.step_correct(score, sample_t).prev_sample
-        M.randn_tensor = lambda shape, layout=None, generator=None, device=None, dtype=None, _n=pred_noise[i]: torch.from_numpy(_n)
-        sample_t = ref_s.step_pred(score, t, sample_t).prev_sample
-    ref = sample_t.numpy()
-
-    ours_s = ScoreSdeVeScheduler(**cfg)
-    state = ours_s.set_timesteps(num_steps)
-    sample = jnp.asarray(dummy_sample_deter()) * cfg["sigma_max"]
-    for i, t in enumerate(np.asarray(state.timesteps)):
-        score = -sample * 0.01
-        sample = ours_s.step_correct(state, score, sample, noise=jnp.asarray(corr_noise[i])).prev_sample
-        sample = ours_s.step_pred(state, score, t, sample, noise=jnp.asarray(pred_noise[i])).prev_sample
-    ours = np.asarray(sample)
-    assert np.max(np.abs(ref - ours)) < 1e-2 * max(1.0, np.abs(ref).max() * 1e-3), np.max(np.abs(ref - ours))
-    assert np.allclose(ref, ours, rtol=1e-4, atol=1e-3)
-
-
-def test_consistency_decoder_matches_reference():
-    torch = pytest.importorskip("torch")
-    from diffusers.schedulers import ConsistencyDecoderScheduler as TorchCD
-
-    from diffusers_tpu.schedulers import ConsistencyDecoderScheduler
-
-    shape = dummy_sample_deter().shape
-    noise = np.random.RandomState(3).randn(*shape).astype(np.float32)
-
-    import diffusers.schedulers.scheduling_consistency_decoder as M
-
-    ref_s = TorchCD()
-    ref_s.set_timesteps(2)
-    sample_t = torch.from_numpy(dummy_sample_deter()) * ref_s.init_noise_sigma
-    M.randn_tensor = lambda shape, generator=None, device=None, dtype=None: torch.from_numpy(noise)
-    for t in ref_s.timesteps:
-        inp = ref_s.scale_model_input(sample_t, t)
-        residual = inp * 0.1
-        sample_t = ref_s.step(residual, t, sample_t).prev_sample
-    ref = sample_t.numpy()
-
-    ours_s = ConsistencyDecoderScheduler()
-    state = ours_s.set_timesteps(2)
-    sample = jnp.asarray(dummy_sample_deter()) * state.init_noise_sigma
-    for t in np.asarray(state.timesteps):
-        inp = ours_s.scale_model_input(state, sample, t)
-        residual = inp * 0.1
-        sample = ours_s.step(state, residual, t, sample, variance_noise=jnp.asarray(noise)).prev_sample
-    ours = np.asarray(sample)
-    assert np.max(np.abs(ref - ours)) < 1e-4, np.max(np.abs(ref - ours))
-
-
-def test_amused_matches_reference_deterministic_parts():
-    """The multinomial/Gumbel draws can't match across frameworks; verify the
-    deterministic plumbing instead: schedule tables, mask counts, and that the
-    final step fully unmasks."""
-    torch = pytest.importorskip("torch")
-    from diffusers import AmusedScheduler as TorchAmused
-
-    from diffusers_tpu.schedulers import AmusedScheduler
-
-    ref_s = TorchAmused(mask_token_id=8)
-    ref_s.set_timesteps(6)
-    ours_s = AmusedScheduler(mask_token_id=8)
-    state = ours_s.set_timesteps(6)
-    assert np.array_equal(np.asarray(state.timesteps), ref_s.timesteps.numpy())
-    assert np.allclose(np.asarray(state.temperatures), ref_s.temperatures.numpy())
+    sigmas = [1.0, 0.85, 0.6, 0.35, 0.15, 0.0]
+    # deterministic check: eta=0 disables the ancestral noise entirely
+    ref_s = TorchSched(eta=0.0)
+    ours = LTXEulerAncestralRFScheduler(eta=0.0)
+    ref_s.set_timesteps(sigmas=list(sigmas))
+    state = ours.set_timesteps(sigmas=list(sigmas))
+    np.testing.assert_allclose(np.asarray(state.sigmas), ref_s.sigmas.numpy(), rtol=1e-6)
 
     rng = np.random.RandomState(0)
-    B, S, V = 2, 16, 8
-    logits_np = rng.randn(B, S, V + 1).astype(np.float32)
-    logits_np[..., 8] = -1e9  # the model never predicts the mask token itself
-    logits = jnp.asarray(logits_np)
-    sample = jnp.full((B, S), 8, jnp.int32)  # all masked
-    key = jax.random.PRNGKey(0)
+    s_ref = torch.from_numpy(rng.randn(1, 4, 6, 6).astype(np.float32))
+    s_ours = jnp.asarray(s_ref.numpy())
+    for i, t in enumerate(ref_s.timesteps):
+        pred = rng.randn(1, 4, 6, 6).astype(np.float32)
+        s_ref = ref_s.step(torch.from_numpy(pred), t, s_ref).prev_sample
+        out = ours.step(state, jnp.asarray(pred), state.timesteps[i], s_ours)
+        s_ours, state = out.prev_sample, out.state
+    np.testing.assert_allclose(np.asarray(s_ours), s_ref.numpy(), rtol=1e-4, atol=1e-5)
 
-    out = ours_s.step(state, logits, int(np.asarray(state.timesteps)[0]), sample, key=key)
-    prev = np.asarray(out.prev_sample)
-    # cosine schedule at step 0 of 6: mask_ratio = cos(pi/12) -> floor(16 * .966)=15
-    assert ((prev == 8).sum(axis=-1) == 15).all()
-    # final timestep (0) returns the fully unmasked prediction
-    out_last = ours_s.step(state, logits, 0, sample, key=key)
-    assert not (np.asarray(out_last.prev_sample) == 8).any()
+    # stochastic path: finite + actually noised
+    ours2 = LTXEulerAncestralRFScheduler(eta=1.0)
+    st = ours2.set_timesteps(sigmas=list(sigmas))
+    x = jnp.asarray(rng.randn(1, 4, 6, 6).astype(np.float32))
+    out = ours2.step(st, jnp.asarray(rng.randn(1, 4, 6, 6).astype(np.float32)),
+                     st.timesteps[0], x, key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out.prev_sample)).all()
+
+    # flow-match delegation path
+    st3 = ours2.set_timesteps(num_inference_steps=4)
+    assert st3.sigmas.shape[0] == 5
+
+
+@pytest.mark.refparity
+def test_minimax_h3_parity():
+    torch = pytest.importorskip("torch")
+    from diffusers import MiniMaxH3Scheduler as TorchSched
+
+    from diffusers_tpu.schedulers import MiniMaxH3Scheduler
+
+    for shift in (12.0, 3.0):
+        ref_s = TorchSched(shift=shift)
+        ours = MiniMaxH3Scheduler(shift=shift)
+        ref_s.set_timesteps(6)
+        state = ours.set_timesteps(6)
+        np.testing.assert_allclose(np.asarray(state.sigmas), ref_s.sigmas.numpy(), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.timesteps), ref_s.timesteps.numpy(), rtol=1e-6)
+
+        rng = np.random.RandomState(int(shift))
+        s_ref = torch.from_numpy(rng.randn(1, 4, 8).astype(np.float32))
+        s_ours = jnp.asarray(s_ref.numpy())
+        for i, t in enumerate(ref_s.timesteps):
+            pred = rng.randn(1, 4, 8).astype(np.float32)
+            s_ref = ref_s.step(torch.from_numpy(pred), t, s_ref).prev_sample
+            out = ours.step(state, jnp.asarray(pred), state.timesteps[i], s_ours)
+            s_ours, state = out.prev_sample, out.state
+        np.testing.assert_allclose(np.asarray(s_ours), s_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+    # scale_noise parity
+    ref_s = TorchSched()
+    ours = MiniMaxH3Scheduler()
+    rng = np.random.RandomState(7)
+    x0 = rng.randn(2, 3, 4).astype(np.float32)
+    noise = rng.randn(2, 3, 4).astype(np.float32)
+    ref = ref_s.scale_noise(torch.from_numpy(x0), torch.tensor([0.3, 0.8]),
+                            torch.from_numpy(noise)).numpy()
+    out = np.asarray(ours.scale_noise(jnp.asarray(x0), jnp.asarray([0.3, 0.8]), jnp.asarray(noise)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+@pytest.mark.refparity
+def test_vq_diffusion_parity():
+    torch = pytest.importorskip("torch")
+    from diffusers.schedulers import VQDiffusionScheduler as TorchSched
+
+    from diffusers_tpu.schedulers import VQDiffusionScheduler
+
+    K, T, N, B = 10, 20, 12, 2
+    ref_s = TorchSched(num_vec_classes=K, num_train_timesteps=T)
+    ours = VQDiffusionScheduler(num_vec_classes=K, num_train_timesteps=T)
+    ref_s.set_timesteps(T)
+    state = ours.set_timesteps(T)
+
+    rng = np.random.RandomState(0)
+    x_t = rng.randint(0, K, (B, N)).astype(np.int64)
+    x_t[0, :4] = K - 1  # some masked positions
+    logits = np.log(np.clip(rng.dirichlet(np.ones(K - 1), (B, N)).transpose(0, 2, 1), 1e-30, None)).astype(np.float32)
+
+    # q_posterior parity at a few timesteps
+    for t in (1, 7, 19):
+        ref = ref_s.q_posterior(torch.from_numpy(logits), torch.from_numpy(x_t), t).numpy()
+        out = np.asarray(ours.q_posterior(jnp.asarray(logits), jnp.asarray(x_t), t))
+        finite = np.isfinite(ref) & (ref > -1e29)
+        np.testing.assert_allclose(out[finite], ref[finite], rtol=1e-3, atol=1e-4)
+
+    # full sampling run stays in range and is finite
+    sample = jnp.asarray(x_t)
+    for i, t in enumerate(np.asarray(state.timesteps)):
+        out = ours.step(state, jnp.asarray(logits), int(t), sample,
+                        key=jax.random.PRNGKey(i))
+        sample, state = out.prev_sample, out.state
+    s = np.asarray(sample)
+    assert s.min() >= 0 and s.max() < K
+
+
+@pytest.mark.refparity
+@pytest.mark.parametrize("spacing", ["linspace", "leading"])
+def test_dpmsolver_inverse_parity(spacing):
+    torch = pytest.importorskip("torch")
+    from diffusers import DPMSolverMultistepInverseScheduler as TorchSched
+
+    from diffusers_tpu.schedulers import DPMSolverMultistepInverseScheduler
+
+    cfg = dict(num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+               beta_schedule="scaled_linear", solver_order=2, prediction_type="epsilon",
+               timestep_spacing=spacing)
+    ref_s = TorchSched(**cfg)
+    ours = DPMSolverMultistepInverseScheduler(**cfg)
+    n = 8
+    ref_s.set_timesteps(n)
+    state = ours.set_timesteps(n, sample_shape=(1, 4, 6, 6))
+    np.testing.assert_array_equal(np.asarray(state.timesteps), ref_s.timesteps.numpy())
+    np.testing.assert_allclose(np.asarray(state.sigmas), ref_s.sigmas.numpy(), rtol=1e-5)
+
+    rng = np.random.RandomState(0)
+    s_ref = torch.from_numpy(rng.randn(1, 4, 6, 6).astype(np.float32))
+    s_ours = jnp.asarray(s_ref.numpy())
+    for i, t in enumerate(ref_s.timesteps):
+        pred = rng.randn(1, 4, 6, 6).astype(np.float32)
+        s_ref = ref_s.step(torch.from_numpy(pred), t, s_ref).prev_sample
+        out = ours.step(state, jnp.asarray(pred), state.timesteps[i], s_ours)
+        s_ours, state = out.prev_sample, out.state
+    np.testing.assert_allclose(np.asarray(s_ours), s_ref.numpy(), rtol=2e-3, atol=2e-3)
