@@ -47,7 +47,7 @@ class HV15RMSNorm(Module):
         self.dim = dim
         self.use_bias = bias
 
-    def init(self, key: jax.Array) -> Params:
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
         p = {"gamma": jnp.ones((self.dim,), jnp.float32)}
         if self.use_bias:
             p["bias"] = jnp.zeros((self.dim,), jnp.float32)

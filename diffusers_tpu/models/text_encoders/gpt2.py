@@ -40,7 +40,7 @@ class GPT2Conv1D(Module):
         self.in_features = in_features
         self.out_features = out_features
 
-    def init(self, key: jax.Array) -> Params:
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
         return {
             "weight": jax.random.normal(key, (self.in_features, self.out_features), jnp.float32) * 0.02,
             "bias": jnp.zeros((self.out_features,), jnp.float32),

@@ -164,6 +164,9 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             self.class_embedding = Identity()
         elif class_embed_type == "projection":
             self.class_embedding = TimestepEmbedding(projection_class_embeddings_input_dim, time_embed_dim)
+        elif class_embed_type == "simple_projection":
+            # AudioLDM: one linear over the CLAP embedding (reference :539)
+            self.class_embedding = Linear(projection_class_embeddings_input_dim, time_embed_dim)
         else:
             self.class_embedding = None
 

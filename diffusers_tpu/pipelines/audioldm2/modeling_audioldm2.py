@@ -70,8 +70,8 @@ class AudioLDM2ProjectionModel(Module, ModelMixin, ConfigMixin):
         self.projection_1 = Linear(text_encoder_1_dim, langauge_model_dim)
         self.dim = langauge_model_dim
 
-    def init(self, key: jax.Array) -> Params:
-        params = super().init(key)
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        params = super().init(key, dtype=dtype)
         params["sos_embed"] = jnp.ones((self.dim,), jnp.float32)
         params["eos_embed"] = jnp.ones((self.dim,), jnp.float32)
         params["sos_embed_1"] = jnp.ones((self.dim,), jnp.float32)

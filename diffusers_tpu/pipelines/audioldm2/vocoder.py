@@ -75,8 +75,8 @@ class SpeechT5HifiGan(Module, ModelMixin, ConfigMixin):
         self.resblocks = ModuleList(resblocks)
         self.conv_post = Conv1d(channels, 1, kernel_size=7, stride=1, padding=3)
 
-    def init(self, key: jax.Array) -> Params:
-        params = super().init(key)
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        params = super().init(key, dtype=dtype)
         params["mean"] = jnp.zeros((self.config.model_in_dim,), jnp.float32)
         params["scale"] = jnp.ones((self.config.model_in_dim,), jnp.float32)
         return params

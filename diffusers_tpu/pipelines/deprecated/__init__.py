@@ -1,0 +1,7 @@
+from .audioldm import AudioLDMPipeline
+from .latent_diffusion_uncond import LDMPipeline
+from .musicldm import MusicLDMPipeline
+from .pndm import PNDMPipeline
+from .repaint import RePaintPipeline
+from .score_sde_ve import ScoreSdeVePipeline
+from .stochastic_karras_ve import KarrasVePipeline

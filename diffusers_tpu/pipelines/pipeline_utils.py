@@ -168,6 +168,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AudioLDM2UNet2DConditionModel": "diffusers_tpu.pipelines.audioldm2.modeling_audioldm2.AudioLDM2UNet2DConditionModel",
     "GlmImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_glm_image.GlmImageTransformer2DModel",
     "HeliosTransformer3DModel": "diffusers_tpu.models.transformers.transformer_helios.HeliosTransformer3DModel",
+    "KarrasVeScheduler": "diffusers_tpu.schedulers.deprecated.scheduling_karras_ve.KarrasVeScheduler",
+    "ScoreSdeVpScheduler": "diffusers_tpu.schedulers.deprecated.scheduling_sde_vp.ScoreSdeVpScheduler",
     "LTXEulerAncestralRFScheduler": "diffusers_tpu.schedulers.scheduling_ltx_euler_ancestral_rf.LTXEulerAncestralRFScheduler",
     "MiniMaxH3Scheduler": "diffusers_tpu.schedulers.scheduling_minimax_h3.MiniMaxH3Scheduler",
     "VQDiffusionScheduler": "diffusers_tpu.schedulers.scheduling_vq_diffusion.VQDiffusionScheduler",
