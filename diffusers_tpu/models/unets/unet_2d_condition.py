@@ -198,6 +198,11 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
 
         self.time_embed_act = get_activation(time_embedding_act_fn) if time_embedding_act_fn else None
 
+        # AudioLDM concatenates the class (CLAP) embedding onto the time
+        # embedding, so every block's temb projection is double-width
+        # (reference unet_2d_condition.py `blocks_time_embed_dim`).
+        blocks_time_embed_dim = time_embed_dim * 2 if class_embeddings_concat else time_embed_dim
+
         # down
         down_blocks = []
         output_channel = block_out_channels[0]
@@ -212,7 +217,7 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                     transformer_layers_per_block=transformer_layers[i],
                     in_channels=input_channel,
                     out_channels=output_channel,
-                    temb_channels=time_embed_dim,
+                    temb_channels=blocks_time_embed_dim,
                     add_downsample=not is_final_block,
                     resnet_eps=norm_eps,
                     resnet_act_fn=act_fn,
@@ -234,7 +239,7 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
 
             self.mid_block = UNetMidBlock2DSimpleCrossAttn(
                 in_channels=block_out_channels[-1],
-                temb_channels=time_embed_dim,
+                temb_channels=blocks_time_embed_dim,
                 resnet_eps=norm_eps,
                 resnet_act_fn=act_fn,
                 output_scale_factor=mid_block_scale_factor,
@@ -247,7 +252,7 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
             self.mid_block = UNetMidBlock2DCrossAttn(
                 transformer_layers_per_block=transformer_layers[-1],
                 in_channels=block_out_channels[-1],
-                temb_channels=time_embed_dim,
+                temb_channels=blocks_time_embed_dim,
                 resnet_eps=norm_eps,
                 resnet_act_fn=act_fn,
                 output_scale_factor=mid_block_scale_factor,
@@ -288,7 +293,7 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                     in_channels=input_channel,
                     out_channels=output_channel,
                     prev_output_channel=prev_output_channel,
-                    temb_channels=time_embed_dim,
+                    temb_channels=blocks_time_embed_dim,
                     add_upsample=not is_final_block,
                     resnet_eps=norm_eps,
                     resnet_act_fn=act_fn,

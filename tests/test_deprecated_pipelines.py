@@ -144,9 +144,12 @@ def _audioldm_components(key, music=False):
     from diffusers_tpu.pipelines.audioldm2.vocoder import SpeechT5HifiGan
     from diffusers_tpu.schedulers import DDIMScheduler
 
+    # encoder_hidden_states=None makes cross-attn fall back to self-attn, so
+    # cross_attention_dim must equal the per-block channels (as in the real
+    # cvssp/audioldm checkpoint layout).
     unet = UNet2DConditionModel(
         sample_size=8, in_channels=4, out_channels=4, layers_per_block=1,
-        block_out_channels=(8, 16), norm_num_groups=4, cross_attention_dim=8,
+        block_out_channels=(8, 16), norm_num_groups=4, cross_attention_dim=(8, 16),
         attention_head_dim=4,
         down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
         up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
