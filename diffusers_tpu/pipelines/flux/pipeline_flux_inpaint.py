@@ -1,0 +1,198 @@
+"""Flux inpainting pipeline (standard 16-channel transformer + mask blend).
+
+Behavioral mirror of the reference
+(`/root/reference/src/diffusers/pipelines/flux/pipeline_flux_inpaint.py`):
+VAE-encode the input, strength-truncated schedule with `scale_noise` init
+(`:631-684`), then per-step latent blending through the packed mask —
+`latents = (1-mask)·scale_noise(image_latents, t_next) + mask·latents`
+(`:1180-1189`) — keeping original content outside the mask at each noise
+level. TPU-first: the blend runs inside the single jitted `lax.scan` with
+`(t, t_next, is_last)` as the scan xs instead of a Python step loop.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
+from ...utils import logging
+from ...utils.jax_utils import randn_tensor
+from .pipeline_flux import FluxPipeline, FluxPipelineOutput
+
+logger = logging.get_logger(__name__)
+
+
+def _as_mask_array(mask_image) -> np.ndarray:
+    """mask (PIL | np [H,W] | [1,H,W] | [B,1,H,W]) → binary float32 NCHW."""
+    try:  # PIL path
+        from PIL import Image
+
+        if isinstance(mask_image, Image.Image):
+            mask_image = np.asarray(mask_image.convert("L"), dtype=np.float32) / 255.0
+    except ImportError:
+        pass
+    mask = np.asarray(mask_image, dtype=np.float32)
+    if mask.ndim == 2:
+        mask = mask[None, None]
+    elif mask.ndim == 3:
+        mask = mask[None]
+    return (mask > 0.5).astype(np.float32)
+
+
+class FluxInpaintPipeline(FluxPipeline):
+    def _pack_mask(self, mask: np.ndarray, batch_size: int, num_channels_latents: int,
+                   lh: int, lw: int) -> jax.Array:
+        """Pixel mask → latent-res nearest-downsample → channel-repeat → pack
+        (reference `prepare_mask_latents` `:686-757`: interpolate to latent
+        size, repeat to num_channels_latents, `_pack_latents`)."""
+        sf_h = max(mask.shape[2] // lh, 1)
+        sf_w = max(mask.shape[3] // lw, 1)
+        m = mask[:, :, ::sf_h, ::sf_w][:, :, :lh, :lw]
+        m = jnp.asarray(np.repeat(m, num_channels_latents, axis=1))
+        if m.shape[0] < batch_size:
+            m = jnp.repeat(m, batch_size // m.shape[0], axis=0)
+        return self._pack_latents(m)
+
+    def _denoise_inpaint(self, transformer_params, latents, image_latents, noise, mask,
+                         prompt_embeds, pooled_prompt_embeds, rope_cos, rope_sin,
+                         timesteps, state, guidance):
+        transformer = self.transformer[0]
+        scheduler = self.scheduler
+        n = timesteps.shape[0]
+        t_next = jnp.concatenate([timesteps[1:], timesteps[-1:]])
+        is_last = (jnp.arange(n) == n - 1)
+
+        def step_fn(carry, xs):
+            t, tn, last = xs
+            latents, sstate = carry
+            timestep = jnp.broadcast_to(t, (latents.shape[0],)) / 1000.0
+            noise_pred = transformer(
+                transformer_params,
+                latents,
+                encoder_hidden_states=prompt_embeds,
+                pooled_projections=pooled_prompt_embeds,
+                timestep=timestep,
+                guidance=guidance,
+                image_rotary_emb=(rope_cos, rope_sin),
+            ).sample
+            out = scheduler.step(sstate, noise_pred, t, latents)
+            # re-noise the untouched region to the NEXT step's level; on the
+            # last step use the clean image latents (reference `:1180-1189`)
+            proper = jnp.where(
+                last, image_latents, scheduler.scale_noise(sstate, image_latents, tn, noise)
+            )
+            blended = (1.0 - mask) * proper + mask * out.prev_sample
+            return (blended, out.state), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), (timesteps, t_next, is_last))
+        return latents
+
+    def __call__(
+        self,
+        prompt: Union[str, List[str]] = None,
+        prompt_2: Optional[Union[str, List[str]]] = None,
+        image=None,
+        mask_image=None,
+        strength: float = 0.6,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 28,
+        guidance_scale: float = 7.0,
+        num_images_per_prompt: int = 1,
+        key: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        pooled_prompt_embeds: Optional[jax.Array] = None,
+        max_sequence_length: int = 512,
+        output_type: str = "pil",
+        return_dict: bool = True,
+    ):
+        transformer, transformer_params = self.transformer
+        vae, vae_params = self.vae
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        init = jnp.asarray(self.image_processor.preprocess(image, height, width))
+        height = height or init.shape[-2]
+        width = width or init.shape[-1]
+        mask = _as_mask_array(mask_image)
+
+        if prompt_embeds is None or pooled_prompt_embeds is None:
+            prompt_embeds, pooled_prompt_embeds, txt_ids = self.encode_prompt(
+                prompt, prompt_2, max_sequence_length
+            )
+        else:
+            txt_ids = np.zeros((prompt_embeds.shape[1], 3), dtype=np.float32)
+        batch_size = prompt_embeds.shape[0] * num_images_per_prompt
+        if num_images_per_prompt != 1:
+            prompt_embeds = jnp.repeat(prompt_embeds, num_images_per_prompt, axis=0)
+            pooled_prompt_embeds = jnp.repeat(pooled_prompt_embeds, num_images_per_prompt, axis=0)
+
+        key, enc_key, noise_key = jax.random.split(key, 3)
+        image_latents = vae.encode(vae_params, init).sample(enc_key)
+        if vae.config.get("shift_factor") is not None:
+            image_latents = image_latents - vae.config.shift_factor
+        image_latents = image_latents * vae.config.scaling_factor
+        if image_latents.shape[0] < batch_size:
+            image_latents = jnp.repeat(image_latents, batch_size // image_latents.shape[0], axis=0)
+
+        num_channels_latents = image_latents.shape[1]
+        lh, lw = image_latents.shape[2], image_latents.shape[3]
+        packed_image = self._pack_latents(image_latents)
+        packed_mask = self._pack_mask(mask, batch_size, num_channels_latents, lh, lw)
+        img_ids = self._prepare_latent_image_ids(lh // 2, lw // 2)
+
+        ids = np.concatenate([txt_ids, img_ids], axis=0)
+        rope_cos, rope_sin = transformer.pos_embed({}, ids)
+
+        sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
+        mu = calculate_shift(
+            packed_image.shape[1],
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        if self.scheduler.config.use_dynamic_shifting:
+            state = self.scheduler.set_timesteps(sigmas=list(sigmas), mu=mu)
+        else:
+            state = self.scheduler.set_timesteps(num_inference_steps)
+
+        init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+        t_start = max(num_inference_steps - init_timestep, 0)
+        timesteps = state.timesteps[t_start:]
+
+        noise = randn_tensor(packed_image.shape, key=noise_key)
+        latents = self.scheduler.scale_noise(state, packed_image, timesteps[:1], noise)
+
+        guidance = None
+        if transformer.config.guidance_embeds:
+            guidance = jnp.full((batch_size,), guidance_scale, dtype=jnp.float32)
+
+        denoise = self._jit("denoise_inpaint", self._denoise_inpaint)
+        latents = denoise(
+            transformer_params, latents, packed_image, noise, packed_mask,
+            prompt_embeds, pooled_prompt_embeds,
+            jnp.asarray(rope_cos), jnp.asarray(rope_sin), timesteps, state, guidance,
+        )
+
+        if output_type == "latent":
+            out_image = latents
+        else:
+            latents = self._unpack_latents(latents, height, width, self.vae_scale_factor)
+
+            def decode(p, z):
+                z = z / vae.config.scaling_factor
+                if vae.config.get("shift_factor") is not None:
+                    z = z + vae.config.shift_factor
+                return vae.decode(p, z).sample
+
+            out_image = self._jit("decode", decode)(vae_params, latents)
+            out_image = self.image_processor.postprocess(out_image, output_type=output_type)
+
+        if not return_dict:
+            return (out_image,)
+        return FluxPipelineOutput(images=out_image)

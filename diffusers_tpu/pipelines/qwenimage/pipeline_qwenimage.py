@@ -108,6 +108,26 @@ class QwenImagePipeline(DiffusionPipeline):
         (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
         return latents
 
+    def _decode_packed_latents(self, latents, height: int, width: int, output_type: str):
+        """Unpack → Wan-stat de-normalize → (3D-aware) VAE decode → postprocess."""
+        if output_type == "latent":
+            return latents
+        vae, vae_params = self.vae
+        latents = self._unpack_latents(latents, height, width, self.vae_scale_factor)
+        # Qwen-Image VAE is Wan-family: de-normalize with per-channel stats
+        lm = vae.config.get("latents_mean")
+        ls = vae.config.get("latents_std")
+        if lm is not None and ls is not None:
+            mean = jnp.asarray(lm).reshape(1, -1, 1, 1)
+            std = jnp.asarray(ls).reshape(1, -1, 1, 1)
+            latents = latents * std + mean
+        if "temperal_downsample" in dict(vae.config) or "scale_factor_temporal" in dict(vae.config):
+            # Wan-family 3D causal VAE (incl. AutoencoderKLQwenImage): add a frame axis
+            dec = vae.decode(vae_params, latents[:, :, None]).sample[:, :, 0]
+        else:
+            dec = vae.decode(vae_params, latents / vae.config.scaling_factor).sample
+        return self.image_processor.postprocess(dec, output_type=output_type)
+
     def __call__(
         self,
         prompt: Union[str, List[str]] = None,
@@ -165,23 +185,7 @@ class QwenImagePipeline(DiffusionPipeline):
         )
         latents = denoise(t_params, latents, embeds, mask, state.timesteps, state)
 
-        if output_type == "latent":
-            image = latents
-        else:
-            latents = self._unpack_latents(latents, height, width, self.vae_scale_factor)
-            # Qwen-Image VAE is Wan-family: de-normalize with per-channel stats
-            lm = vae.config.get("latents_mean")
-            ls = vae.config.get("latents_std")
-            if lm is not None and ls is not None:
-                mean = jnp.asarray(lm).reshape(1, -1, 1, 1)
-                std = jnp.asarray(ls).reshape(1, -1, 1, 1)
-                latents = latents * std + mean
-            if "temperal_downsample" in dict(vae.config) or "scale_factor_temporal" in dict(vae.config):
-                # Wan-family 3D causal VAE (incl. AutoencoderKLQwenImage): add a frame axis
-                dec = vae.decode(vae_params, latents[:, :, None]).sample[:, :, 0]
-            else:
-                dec = vae.decode(vae_params, latents / vae.config.scaling_factor).sample
-            image = self.image_processor.postprocess(dec, output_type=output_type)
+        image = self._decode_packed_latents(latents, height, width, output_type)
 
         if not return_dict:
             return (image,)
