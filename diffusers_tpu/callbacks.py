@@ -63,3 +63,18 @@ class SDCFGCutoffCallback(PipelineCallback):
             callback_kwargs["prompt_embeds"] = prompt_embeds[-(prompt_embeds.shape[0] // 2):]
             callback_kwargs["guidance_scale"] = 1.0
         return callback_kwargs
+
+
+class SDXLCFGCutoffCallback(PipelineCallback):
+    """Disable CFG after the cutoff step, dropping the uncond half of all
+    three conditioning tensors (reference callbacks.SDXLCFGCutoffCallback)."""
+
+    tensor_inputs = ["prompt_embeds", "add_text_embeds", "add_time_ids"]
+
+    def callback_fn(self, pipeline, step_index, timestep, callback_kwargs):
+        if step_index == self._cutoff_step(pipeline._num_timesteps):
+            for name in self.tensor_inputs:
+                t = callback_kwargs[name]
+                callback_kwargs[name] = t[-(t.shape[0] // 2):]
+            callback_kwargs["guidance_scale"] = 1.0
+        return callback_kwargs

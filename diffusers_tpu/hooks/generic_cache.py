@@ -117,3 +117,51 @@ def denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg=None):
         f"denoise_scan does not support cache config {type(cache_cfg).__name__}; "
         "supported: TaylorSeerCacheConfig, MagCacheConfig, TextKVCacheConfig"
     )
+
+
+def denoise_loop_with_callback(forward_cb, scheduler, latents, state, timesteps,
+                               pipe, callback, cb_tensors, cache_cfg=None):
+    """Per-step-jitted denoise honoring `callback_on_step_end`.
+
+    The fused single-`lax.scan` loop admits no host callbacks; when a user
+    passes one, the loop switches to one jitted step per iteration (the
+    reference pays a Python iteration + `mark_step` per step ANYWAY —
+    `pipelines/flux/pipeline_flux.py:938-952` — so this matches its cost
+    model, and the no-callback default keeps the fused scan).
+
+    Args:
+        forward_cb: fn(latents, t, scheduler_state, cb: dict) -> model_output.
+            Reads conditioning tensors from `cb` each step so callback tensor
+            mutations (e.g. CFG cutoff swapping prompt_embeds, reference
+            `callbacks.py:46`) take effect — shape changes simply retrace.
+        callback: fn(pipe, step_index, timestep, callback_kwargs) -> dict,
+            fired AFTER scheduler.step (reference semantics); may return
+            updated "latents" and any of the `cb_tensors` keys.
+        cb_tensors: dict of tensors/scalars exposed to the callback alongside
+            "latents" (include e.g. "guidance_scale" for cutoff callbacks).
+    Returns final latents.
+    """
+    if cache_cfg is not None and not isinstance(cache_cfg, TextKVCacheConfig):
+        raise ValueError(
+            "callback_on_step_end cannot yet be combined with cache config "
+            f"{type(cache_cfg).__name__}; disable one of them"
+        )
+
+    num_steps = int(timesteps.shape[0])
+    pipe._num_timesteps = num_steps
+
+    @jax.jit
+    def one_step(lat, sstate, t, cb):
+        out = scheduler.step(sstate, forward_cb(lat, t, sstate, cb), t, lat)
+        return out.prev_sample, out.state
+
+    cb = dict(cb_tensors)
+    ts_host = np.asarray(timesteps)
+    for i in range(num_steps):
+        latents, state = one_step(latents, state, jnp.asarray(ts_host[i]), cb)
+        kwargs = {"latents": latents, **cb}
+        out = callback(pipe, i, ts_host[i], kwargs) or {}
+        latents = out.pop("latents", latents)
+        for k, v in out.items():
+            cb[k] = v
+    return latents

@@ -314,6 +314,8 @@ class FluxPipeline(DiffusionPipeline):
         max_sequence_length: int = 512,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs: Optional[List[str]] = None,
     ):
         transformer, transformer_params = self.transformer
         vae, vae_params = self.vae
@@ -386,19 +388,43 @@ class FluxPipeline(DiffusionPipeline):
                 )
             pab_mask = jnp.asarray(mag_cache_compute_mask(cache_cfg))
 
-        denoise = self._jit("denoise", self._denoise)
-        latents = denoise(
-            transformer_params,
-            latents,
-            prompt_embeds,
-            pooled_prompt_embeds,
-            jnp.asarray(rope_cos),
-            jnp.asarray(rope_sin),
-            state.timesteps,
-            state,
-            guidance,
-            pab_mask,
-        )
+        if callback_on_step_end is not None:
+            from ...hooks.generic_cache import denoise_loop_with_callback
+
+            rope = (jnp.asarray(rope_cos), jnp.asarray(rope_sin))
+            scheduler = self.scheduler
+
+            def forward_cb(lat, t, sstate, cb):
+                timestep = jnp.broadcast_to(t, (lat.shape[0],)) / 1000.0
+                return transformer(
+                    transformer_params, lat,
+                    encoder_hidden_states=cb["prompt_embeds"],
+                    pooled_projections=cb["pooled_prompt_embeds"],
+                    timestep=timestep, guidance=cb.get("guidance"),
+                    image_rotary_emb=rope,
+                ).sample
+
+            latents = denoise_loop_with_callback(
+                forward_cb, scheduler, latents, state, state.timesteps, self,
+                callback_on_step_end,
+                {"prompt_embeds": prompt_embeds, "pooled_prompt_embeds": pooled_prompt_embeds,
+                 "guidance": guidance},
+                cache_cfg=cache_cfg,
+            )
+        else:
+            denoise = self._jit("denoise", self._denoise)
+            latents = denoise(
+                transformer_params,
+                latents,
+                prompt_embeds,
+                pooled_prompt_embeds,
+                jnp.asarray(rope_cos),
+                jnp.asarray(rope_sin),
+                state.timesteps,
+                state,
+                guidance,
+                pab_mask,
+            )
 
         if output_type == "latent":
             image = latents

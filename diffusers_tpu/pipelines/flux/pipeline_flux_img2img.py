@@ -18,6 +18,7 @@ import numpy as np
 from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
 from ...utils import logging
 from ...utils.jax_utils import randn_tensor
+from ..inpaint_utils import check_strength_and_schedule
 from .pipeline_flux import FluxPipeline, FluxPipelineOutput
 
 logger = logging.get_logger(__name__)
@@ -94,6 +95,7 @@ class FluxImg2ImgPipeline(FluxPipeline):
         init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
         t_start = max(num_inference_steps - init_timestep, 0)
         timesteps = state.timesteps[t_start:]
+        check_strength_and_schedule(strength, timesteps)
 
         noise = randn_tensor(packed_init.shape, key=noise_key)
         latents = self.scheduler.scale_noise(state, packed_init, timesteps[:1], noise)

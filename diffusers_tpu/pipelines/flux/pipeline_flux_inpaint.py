@@ -21,41 +21,24 @@ import numpy as np
 from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
 from ...utils import logging
 from ...utils.jax_utils import randn_tensor
+from ..inpaint_utils import (
+    as_mask_array as _as_mask_array,
+    check_strength_and_schedule,
+    prepare_packed_mask,
+    repeat_to_batch,
+)
 from .pipeline_flux import FluxPipeline, FluxPipelineOutput
 
 logger = logging.get_logger(__name__)
 
 
-def _as_mask_array(mask_image) -> np.ndarray:
-    """mask (PIL | np [H,W] | [1,H,W] | [B,1,H,W]) → binary float32 NCHW."""
-    try:  # PIL path
-        from PIL import Image
-
-        if isinstance(mask_image, Image.Image):
-            mask_image = np.asarray(mask_image.convert("L"), dtype=np.float32) / 255.0
-    except ImportError:
-        pass
-    mask = np.asarray(mask_image, dtype=np.float32)
-    if mask.ndim == 2:
-        mask = mask[None, None]
-    elif mask.ndim == 3:
-        mask = mask[None]
-    return (mask > 0.5).astype(np.float32)
-
-
 class FluxInpaintPipeline(FluxPipeline):
     def _pack_mask(self, mask: np.ndarray, batch_size: int, num_channels_latents: int,
                    lh: int, lw: int) -> jax.Array:
-        """Pixel mask → latent-res nearest-downsample → channel-repeat → pack
+        """Pixel mask → latent-res nearest resize → channel-repeat → pack
         (reference `prepare_mask_latents` `:686-757`: interpolate to latent
         size, repeat to num_channels_latents, `_pack_latents`)."""
-        sf_h = max(mask.shape[2] // lh, 1)
-        sf_w = max(mask.shape[3] // lw, 1)
-        m = mask[:, :, ::sf_h, ::sf_w][:, :, :lh, :lw]
-        m = jnp.asarray(np.repeat(m, num_channels_latents, axis=1))
-        if m.shape[0] < batch_size:
-            m = jnp.repeat(m, batch_size // m.shape[0], axis=0)
-        return self._pack_latents(m)
+        return prepare_packed_mask(mask, batch_size, num_channels_latents, lh, lw, self._pack_latents)
 
     def _denoise_inpaint(self, transformer_params, latents, image_latents, noise, mask,
                          prompt_embeds, pooled_prompt_embeds, rope_cos, rope_sin,
@@ -136,8 +119,7 @@ class FluxInpaintPipeline(FluxPipeline):
         if vae.config.get("shift_factor") is not None:
             image_latents = image_latents - vae.config.shift_factor
         image_latents = image_latents * vae.config.scaling_factor
-        if image_latents.shape[0] < batch_size:
-            image_latents = jnp.repeat(image_latents, batch_size // image_latents.shape[0], axis=0)
+        image_latents = repeat_to_batch(image_latents, batch_size, what="image")
 
         num_channels_latents = image_latents.shape[1]
         lh, lw = image_latents.shape[2], image_latents.shape[3]
@@ -164,6 +146,7 @@ class FluxInpaintPipeline(FluxPipeline):
         init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
         t_start = max(num_inference_steps - init_timestep, 0)
         timesteps = state.timesteps[t_start:]
+        check_strength_and_schedule(strength, timesteps)
 
         noise = randn_tensor(packed_image.shape, key=noise_key)
         latents = self.scheduler.scale_noise(state, packed_image, timesteps[:1], noise)

@@ -19,6 +19,7 @@ import numpy as np
 from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
 from ...utils import logging
 from ...utils.jax_utils import randn_tensor
+from ..inpaint_utils import check_strength_and_schedule, repeat_to_batch
 from .pipeline_qwenimage import QwenImagePipeline, QwenImagePipelineOutput
 
 logger = logging.get_logger(__name__)
@@ -76,8 +77,7 @@ class QwenImageImg2ImgPipeline(QwenImagePipeline):
 
         key, enc_key, noise_key = jax.random.split(key, 3)
         image_latents = self._encode_vae_image(init, enc_key)
-        if image_latents.shape[0] < batch_size:
-            image_latents = jnp.repeat(image_latents, batch_size // image_latents.shape[0], axis=0)
+        image_latents = repeat_to_batch(image_latents, batch_size, what="image")
         lh, lw = image_latents.shape[2], image_latents.shape[3]
         packed_image = self._pack_latents(image_latents)
         img_shapes = [(1, lh // 2, lw // 2)]
@@ -98,6 +98,7 @@ class QwenImageImg2ImgPipeline(QwenImagePipeline):
         init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
         t_start = max(num_inference_steps - init_timestep, 0)
         timesteps = state.timesteps[t_start:]
+        check_strength_and_schedule(strength, timesteps)
 
         noise = randn_tensor(packed_image.shape, key=noise_key)
         latents = self.scheduler.scale_noise(state, packed_image, timesteps[:1], noise)

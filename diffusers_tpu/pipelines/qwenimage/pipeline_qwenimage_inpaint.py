@@ -21,6 +21,12 @@ import numpy as np
 from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
 from ...utils import logging
 from ...utils.jax_utils import randn_tensor
+from ..inpaint_utils import (
+    as_mask_array,
+    check_strength_and_schedule,
+    prepare_packed_mask,
+    repeat_to_batch,
+)
 from .pipeline_qwenimage import QwenImagePipelineOutput
 from .pipeline_qwenimage_img2img import QwenImageImg2ImgPipeline
 
@@ -74,8 +80,6 @@ class QwenImageInpaintPipeline(QwenImageImg2ImgPipeline):
         output_type: str = "pil",
         return_dict: bool = True,
     ):
-        from ..flux.pipeline_flux_inpaint import _as_mask_array
-
         transformer, t_params = self.transformer
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -83,7 +87,7 @@ class QwenImageInpaintPipeline(QwenImageImg2ImgPipeline):
         init = jnp.asarray(self.image_processor.preprocess(image, height, width))
         height = height or init.shape[-2]
         width = width or init.shape[-1]
-        mask = _as_mask_array(mask_image)
+        mask = as_mask_array(mask_image)
 
         do_cfg = true_cfg_scale > 1.0
         embeds, embeds_mask, neg_embeds, neg_mask = self.encode_prompt(
@@ -96,21 +100,14 @@ class QwenImageInpaintPipeline(QwenImageImg2ImgPipeline):
 
         key, enc_key, noise_key = jax.random.split(key, 3)
         image_latents = self._encode_vae_image(init, enc_key)
-        if image_latents.shape[0] < batch_size:
-            image_latents = jnp.repeat(image_latents, batch_size // image_latents.shape[0], axis=0)
+        image_latents = repeat_to_batch(image_latents, batch_size, what="image")
         num_channels_latents = image_latents.shape[1]
         lh, lw = image_latents.shape[2], image_latents.shape[3]
         packed_image = self._pack_latents(image_latents)
         img_shapes = [(1, lh // 2, lw // 2)]
 
-        # pixel mask → latent-res nearest-downsample → channel-repeat → pack
-        sf_h = max(mask.shape[2] // lh, 1)
-        sf_w = max(mask.shape[3] // lw, 1)
-        m = mask[:, :, ::sf_h, ::sf_w][:, :, :lh, :lw]
-        m = jnp.asarray(np.repeat(m, num_channels_latents, axis=1))
-        if m.shape[0] < batch_size:
-            m = jnp.repeat(m, batch_size // m.shape[0], axis=0)
-        packed_mask = self._pack_latents(m)
+        # pixel mask → latent-res nearest resize → channel-repeat → pack
+        packed_mask = prepare_packed_mask(mask, batch_size, num_channels_latents, lh, lw, self._pack_latents)
 
         sigmas = np.linspace(1.0, 1 / num_inference_steps, num_inference_steps)
         mu = calculate_shift(
@@ -128,6 +125,7 @@ class QwenImageInpaintPipeline(QwenImageImg2ImgPipeline):
         init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
         t_start = max(num_inference_steps - init_timestep, 0)
         timesteps = state.timesteps[t_start:]
+        check_strength_and_schedule(strength, timesteps)
 
         noise = randn_tensor(packed_image.shape, key=noise_key)
         latents = self.scheduler.scale_noise(state, packed_image, timesteps[:1], noise)

@@ -194,6 +194,70 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         generic_cfg = None if cache_cfg is not None and type(cache_cfg).__name__ == "FasterCacheConfig" else cache_cfg
         return denoise_scan(forward, scheduler, latents, state, state.timesteps, generic_cfg)
 
+    def _denoise_with_callback(self, unet_params, prompt_embeds, negative_embeds, pooled,
+                               negative_pooled, add_time_ids, latents, key, guidance_scale,
+                               num_inference_steps, do_cfg, num_images_per_prompt, latent_shape,
+                               callback, image_embeds=None):
+        """Per-step-jitted denoise honoring `callback_on_step_end` (reference
+        per-pipeline wiring, e.g. `pipeline_stable_diffusion_xl.py`; CFG
+        cutoff drops the uncond half of prompt_embeds mid-loop — detected
+        here by batch shape, retraces once)."""
+        from ...hooks.generic_cache import denoise_loop_with_callback
+
+        unet = self.unet[0]
+        scheduler = self.scheduler
+        if num_images_per_prompt != 1:
+            reps = lambda x: jnp.repeat(x, num_images_per_prompt, axis=0)
+            prompt_embeds, pooled = reps(prompt_embeds), reps(pooled)
+            if do_cfg and negative_embeds is not None:
+                negative_embeds, negative_pooled = reps(negative_embeds), reps(negative_pooled)
+        if do_cfg:
+            if negative_embeds is None:
+                negative_embeds = jnp.zeros_like(prompt_embeds)
+                negative_pooled = jnp.zeros_like(pooled)
+            prompt_embeds = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
+            add_text_embeds = jnp.concatenate([negative_pooled, pooled], axis=0)
+            add_time_ids = jnp.concatenate([add_time_ids, add_time_ids], axis=0)
+        else:
+            add_text_embeds = pooled
+        if latents is None:
+            latents = randn_tensor(latent_shape, key=key)
+
+        state = scheduler.set_timesteps(num_inference_steps)
+        latents = latents * state.init_noise_sigma
+        if hasattr(scheduler, "prepare"):
+            state = scheduler.prepare(state, latents)
+
+        def forward_cb(lat, t, sstate, cb):
+            pe, ate, ati = cb["prompt_embeds"], cb["add_text_embeds"], cb["add_time_ids"]
+            cfg = pe.shape[0] == 2 * lat.shape[0]
+            latent_input = jnp.concatenate([lat, lat], axis=0) if cfg else lat
+            latent_input = scheduler.scale_model_input(sstate, latent_input, t)
+            noise_pred = unet(
+                unet_params, latent_input,
+                jnp.broadcast_to(t, (latent_input.shape[0],)),
+                encoder_hidden_states=pe,
+                added_cond_kwargs=(
+                    {"text_embeds": ate, "time_ids": ati}
+                    | ({"image_embeds": image_embeds} if image_embeds is not None else {})
+                ),
+            ).sample
+            if cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + cb["guidance_scale"] * (text - uncond)
+            return noise_pred
+
+        cb_tensors = {
+            "prompt_embeds": prompt_embeds,
+            "add_text_embeds": add_text_embeds,
+            "add_time_ids": add_time_ids,
+            "guidance_scale": jnp.asarray(guidance_scale, jnp.float32),
+        }
+        return denoise_loop_with_callback(
+            forward_cb, scheduler, latents, state, state.timesteps, self, callback, cb_tensors,
+            cache_cfg=getattr(self, "_cache_config", None),
+        )
+
     def _denoise_faster_cache(self, unet_params, prompt_embeds, add_text_embeds, add_time_ids,
                               latents, guidance_scale, state, cache_cfg, fc_sched):
         """CFG-cached denoise (FasterCache, arXiv:2410.19355): the uncond
@@ -268,6 +332,8 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         target_size: Optional[Tuple[int, int]] = None,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs: Optional[List[str]] = None,
     ):
         unet, unet_params = self.unet
         vae, vae_params = self.vae
@@ -302,17 +368,24 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
                 skip_np, lf_np, hf_np = faster_cache_schedules(np.asarray(host_state.timesteps), cache_cfg)
                 fc_sched = (jnp.asarray(skip_np), jnp.asarray(lf_np), jnp.asarray(hf_np))
 
-        denoise = self._jit(
-            "denoise",
-            partial(
-                self._prep_denoise,
-                guidance_scale=guidance_scale, num_inference_steps=num_inference_steps,
-                do_cfg=do_cfg, num_images_per_prompt=num_images_per_prompt, latent_shape=shape,
-            ),
-            static=(guidance_scale, num_inference_steps, do_cfg, num_images_per_prompt, shape),
-        )
-        latents = denoise(unet_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
-                          add_time_ids, latents, key, image_embeds=image_embeds, fc_sched=fc_sched)
+        if callback_on_step_end is not None:
+            latents = self._denoise_with_callback(
+                unet_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
+                add_time_ids, latents, key, guidance_scale, num_inference_steps, do_cfg,
+                num_images_per_prompt, shape, callback_on_step_end, image_embeds,
+            )
+        else:
+            denoise = self._jit(
+                "denoise",
+                partial(
+                    self._prep_denoise,
+                    guidance_scale=guidance_scale, num_inference_steps=num_inference_steps,
+                    do_cfg=do_cfg, num_images_per_prompt=num_images_per_prompt, latent_shape=shape,
+                ),
+                static=(guidance_scale, num_inference_steps, do_cfg, num_images_per_prompt, shape),
+            )
+            latents = denoise(unet_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
+                              add_time_ids, latents, key, image_embeds=image_embeds, fc_sched=fc_sched)
 
         if output_type == "latent":
             image = latents

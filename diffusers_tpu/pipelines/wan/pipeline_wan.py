@@ -103,6 +103,8 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
         max_sequence_length: int = 226,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs: Optional[List[str]] = None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -137,8 +139,34 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
                 state = self.scheduler.set_timesteps(steps, sample_shape=shape)
             except TypeError:
                 state = self.scheduler.set_timesteps(steps)
-            latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
-                              state.timesteps, state)
+            if callback_on_step_end is not None:
+                from ...hooks.generic_cache import denoise_loop_with_callback
+
+                scheduler = self.scheduler
+
+                def forward_cb(lat, t, sstate, cb):
+                    timestep = jnp.broadcast_to(t, (lat.shape[0],))
+                    noise_cond = transformer(
+                        t_params, lat, timestep, cb["prompt_embeds"], rotary_emb=(rope_cos, rope_sin)
+                    ).sample
+                    neg = cb.get("negative_prompt_embeds")
+                    if neg is not None:
+                        noise_uncond = transformer(
+                            t_params, lat, timestep, neg, rotary_emb=(rope_cos, rope_sin)
+                        ).sample
+                        return noise_uncond + cb["guidance_scale"] * (noise_cond - noise_uncond)
+                    return noise_cond
+
+                latents = denoise_loop_with_callback(
+                    forward_cb, scheduler, latents, state, state.timesteps, self,
+                    callback_on_step_end,
+                    {"prompt_embeds": prompt_embeds, "negative_prompt_embeds": negative_embeds,
+                     "guidance_scale": jnp.asarray(guidance_scale, jnp.float32)},
+                    cache_cfg=getattr(self, "_cache_config", None),
+                )
+            else:
+                latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
+                                  state.timesteps, state)
 
         if output_type == "latent":
             video = latents

@@ -2,6 +2,7 @@
 strategy: `tests/pipelines/flux/test_pipeline_flux.py` get_dummy_components)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from diffusers_tpu.models.autoencoders.autoencoder_kl import AutoencoderKL
