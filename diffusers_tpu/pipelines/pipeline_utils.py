@@ -281,12 +281,18 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         dtype=None,
         variant: Optional[str] = None,
         quantization_config=None,
+        mesh=None,
         **kwargs,
     ):
         """`quantization_config` may be a `PipelineQuantizationConfig` (maps
         component name → quant config, reference `pipe_quant_config.py:34`)
         or a single model-level config applied to every weight-bearing
-        component."""
+        component.
+
+        `mesh` streams every weighted component's leaves straight onto the
+        given `jax.sharding.Mesh` with its registered TP plan (replicated when
+        none) — sharded inference WITHOUT single-device staging (contrast
+        `enable_parallelism`, which re-shards already-loaded params)."""
         from ..utils.hub_utils import snapshot_download_repo
 
         expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
@@ -331,7 +337,7 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
                         component_quant = quantization_config
                 model, params = component_cls.from_pretrained(
                     root, subfolder=name, dtype=dtype, variant=variant,
-                    quantization_config=component_quant,
+                    quantization_config=component_quant, mesh=mesh,
                 )
                 init_kwargs[name] = (model, params)
             else:  # config-only components (schedulers, guiders)
@@ -342,7 +348,21 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
             if name in cls._optional_components:
                 init_kwargs[name] = None
 
-        return cls(**init_kwargs)
+        pipe = cls(**init_kwargs)
+        if mesh is not None:
+            # activate the ambient ParallelEnv so traced calls pick up the
+            # mesh (CP routing, sharded jit) — weights are already placed
+            from ..parallel.env import ParallelEnv
+            from ..parallel.mesh import ParallelConfig
+
+            shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+            config = ParallelConfig(
+                data_degree=shape.get("data", 1),
+                tensor_degree=shape.get("tensor", 1),
+                sequence_degree=shape.get("sequence", 1),
+            )
+            pipe._parallel_env = ParallelEnv(mesh=mesh, config=config, cp_backend=None)
+        return pipe
 
     @classmethod
     def from_pipe(cls, pipeline: "DiffusionPipeline", **overrides):

@@ -88,20 +88,28 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         tokenizers = [self.tokenizer, self.tokenizer_2]
 
         def encode(texts):
-            embeds_list = []
-            pooled = None
+            # jit BOTH towers as one call: eager CLIP dispatch through the
+            # device tunnel costs seconds/prompt vs ~30ms compiled (VERDICT
+            # r3 #2), and one dispatch beats two.
+            ids, params, encs = {}, {}, {}
             for idx, ((enc, enc_params), tok) in enumerate(zip(encoders, tokenizers)):
                 if enc is None:
                     continue
                 inputs = tok(texts, padding="max_length", max_length=77, truncation=True, return_tensors="np")
-                # jit the tower: eager CLIP dispatch through the device tunnel
-                # costs seconds/prompt vs ~30ms compiled (VERDICT r3 #2)
-                fwd = self._jit(f"encode_te{idx}", partial(_encode_tower, enc))
-                emb, pl = fwd(enc_params, jnp.asarray(inputs.input_ids))
-                # penultimate hidden state (reference encode_prompt clip_skip=None path)
-                embeds_list.append(emb)
-                pooled = pl
-            return jnp.concatenate(embeds_list, axis=-1), pooled
+                ids[str(idx)] = jnp.asarray(inputs.input_ids)
+                params[str(idx)] = enc_params
+                encs[str(idx)] = enc
+
+            def _towers(params, ids):
+                embeds_list, pooled = [], None
+                for idx, enc in encs.items():
+                    # penultimate hidden state (reference encode_prompt clip_skip=None path)
+                    emb, pl = _encode_tower(enc, params[idx], ids[idx])
+                    embeds_list.append(emb)
+                    pooled = pl
+                return jnp.concatenate(embeds_list, axis=-1), pooled
+
+            return self._jit("encode", _towers)(params, ids)
 
         prompt_embeds, pooled_prompt_embeds = encode([p1 if p1 == p2 else p1 for p1, p2 in zip(prompt, prompt_2)])
 
@@ -123,6 +131,24 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
         return jnp.asarray([add_time_ids] * batch, dtype=jnp.float32)
 
     # ------------------------------------------------------------- denoise
+    def _generate(self, unet_params, vae_params, prompt_embeds, negative_embeds, pooled,
+                  negative_pooled, add_time_ids, latents, key, guidance_scale,
+                  num_inference_steps, do_cfg, num_images_per_prompt, latent_shape,
+                  decode_mode, image_embeds=None, fc_sched=None):
+        """prep + denoise + VAE decode + device-side postprocess in ONE jit —
+        a single dispatch and a single (uint8 for pil) host transfer."""
+        latents = self._prep_denoise(
+            unet_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
+            add_time_ids, latents, key, guidance_scale, num_inference_steps, do_cfg,
+            num_images_per_prompt, latent_shape, image_embeds=image_embeds, fc_sched=fc_sched)
+        if decode_mode == "latent":
+            return latents
+        vae = self.vae[0]
+        image = vae.decode(vae_params, latents / vae.config.scaling_factor).sample
+        from ...image_processor import _postprocess_np_device, _postprocess_pil_device
+
+        return _postprocess_pil_device(image) if decode_mode == "u8" else _postprocess_np_device(image)
+
     def _prep_denoise(self, unet_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
                       add_time_ids, latents, key, guidance_scale, num_inference_steps, do_cfg,
                       num_images_per_prompt, latent_shape, image_embeds=None, fc_sched=None):
@@ -374,25 +400,37 @@ class StableDiffusionXLPipeline(DiffusionPipeline, IPAdapterPipelineMixin):
                 add_time_ids, latents, key, guidance_scale, num_inference_steps, do_cfg,
                 num_images_per_prompt, shape, callback_on_step_end, image_embeds,
             )
-        else:
-            denoise = self._jit(
-                "denoise",
-                partial(
-                    self._prep_denoise,
-                    guidance_scale=guidance_scale, num_inference_steps=num_inference_steps,
-                    do_cfg=do_cfg, num_images_per_prompt=num_images_per_prompt, latent_shape=shape,
-                ),
-                static=(guidance_scale, num_inference_steps, do_cfg, num_images_per_prompt, shape),
-            )
-            latents = denoise(unet_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
-                              add_time_ids, latents, key, image_embeds=image_embeds, fc_sched=fc_sched)
+            if output_type == "latent":
+                image = latents
+            else:
+                decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
+                image = self.image_processor.postprocess(decode(vae_params, latents), output_type=output_type)
+            if not return_dict:
+                return (image,)
+            return StableDiffusionXLPipelineOutput(images=image)
 
-        if output_type == "latent":
-            image = latents
+        decode_mode = "latent" if output_type == "latent" else ("u8" if output_type == "pil" else "np")
+        run = self._jit(
+            "generate",
+            partial(
+                self._generate,
+                guidance_scale=guidance_scale, num_inference_steps=num_inference_steps,
+                do_cfg=do_cfg, num_images_per_prompt=num_images_per_prompt, latent_shape=shape,
+                decode_mode=decode_mode,
+            ),
+            static=(guidance_scale, num_inference_steps, do_cfg, num_images_per_prompt, shape, decode_mode),
+        )
+        out = run(unet_params, vae_params, prompt_embeds, negative_embeds, pooled, negative_pooled,
+                  add_time_ids, latents, key, image_embeds=image_embeds, fc_sched=fc_sched)
+
+        if output_type == "latent" or output_type == "jax":
+            image = out
+        elif output_type == "pil":
+            from ...image_processor import numpy_to_pil
+
+            image = numpy_to_pil(np.asarray(out))
         else:
-            decode = self._jit("decode", lambda p, z: vae.decode(p, z / vae.config.scaling_factor).sample)
-            image = decode(vae_params, latents)
-            image = self.image_processor.postprocess(image, output_type=output_type)
+            image = np.asarray(out)
 
         if not return_dict:
             return (image,)
