@@ -319,15 +319,18 @@ def stream_load_params(
     params: Params = {}
     unmatched = []
     np_dtype = None if dtype is None else np.dtype(jnp.dtype(dtype))  # bf16 via ml_dtypes registration
-    for shard_file in _resolve_weight_files(model_path, variant):
+
+    def convert_chunk(shard_file, keys):
+        """Read + convert + (host) quantize a chunk of keys — pure host work,
+        runs on a loader thread. Returns [(path, {leaf_name: np.ndarray})]."""
+        out = []
         with safe_open(shard_file, framework="numpy") as f:
-            for key in f.keys():
-                tensor = f.get_tensor(key)
+            for key in keys:
                 leaf, path, pname = _resolve_module(model, key.split("."))
                 if pname is None:
                     unmatched.append(key)
                     continue
-                name, value = _leaf_convert_from_torch(leaf, pname, np.asarray(tensor))
+                name, value = _leaf_convert_from_torch(leaf, pname, np.asarray(f.get_tensor(key)))
                 if dtype is not None and np.issubdtype(np.asarray(value).dtype, np.floating):
                     value = np.asarray(value).astype(np_dtype)
                 module_path = ".".join(str(p) for p in path)
@@ -335,15 +338,43 @@ def stream_load_params(
                     leaves = _host_maybe_quantize(np.asarray(value), qc, module_path)
                 else:
                     leaves = {name: value}
-                for nm, val in leaves.items():
-                    val = np.ascontiguousarray(val)
-                    if sharding_for is not None:
-                        dotted = f"{module_path}.{nm}" if module_path else nm
-                        arr = jax.device_put(val, sharding_for(dotted))
-                    else:
-                        arr = jnp.asarray(val)
-                    _set_nested(params, path + [nm], arr)
-                del tensor, value, leaves
+                out.append((path, module_path, {nm: np.ascontiguousarray(v) for nm, v in leaves.items()}))
+        return out
+
+    def place(converted):
+        """device_put on the main thread (bounds in-flight host memory)."""
+        for path, module_path, leaves in converted:
+            for nm, val in leaves.items():
+                if sharding_for is not None:
+                    dotted = f"{module_path}.{nm}" if module_path else nm
+                    arr = jax.device_put(val, sharding_for(dotted))
+                else:
+                    arr = jnp.asarray(val)
+                _set_nested(params, path + [nm], arr)
+
+    from ..utils.constants import DIFFUSERS_TPU_PARALLEL_LOADING_WORKERS as workers
+
+    CHUNK = 8
+    tasks = []
+    for shard_file in _resolve_weight_files(model_path, variant):
+        with safe_open(shard_file, framework="numpy") as f:
+            keys = list(f.keys())
+        tasks.extend((shard_file, keys[i:i + CHUNK]) for i in range(0, len(keys), CHUNK))
+
+    if workers > 1 and len(tasks) > 1:
+        # read/convert/quantize chunks on a thread pool (reference's
+        # HF_ENABLE_PARALLEL_LOADING threadpool shard load,
+        # `model_loading_utils.py:391`); device placement stays on the main
+        # thread so at most `workers` chunks of host memory are in flight.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for converted in pool.map(lambda t: convert_chunk(*t), tasks):
+                place(converted)
+    else:
+        for t in tasks:
+            place(convert_chunk(*t))
+
     if unmatched:
         logger.warning(f"{len(unmatched)} checkpoint keys had no matching module path, e.g. {unmatched[:5]}")
     return params

@@ -282,6 +282,8 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         variant: Optional[str] = None,
         quantization_config=None,
         mesh=None,
+        custom_pipeline: Optional[str] = None,
+        trust_remote_code: bool = False,
         **kwargs,
     ):
         """`quantization_config` may be a `PipelineQuantizationConfig` (maps
@@ -292,13 +294,13 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         `mesh` streams every weighted component's leaves straight onto the
         given `jax.sharding.Mesh` with its registered TP plan (replicated when
         none) — sharded inference WITHOUT single-device staging (contrast
-        `enable_parallelism`, which re-shards already-loaded params)."""
-        from ..utils.hub_utils import snapshot_download_repo
+        `enable_parallelism`, which re-shards already-loaded params).
 
-        expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
-        # components passed directly override loading (reference
-        # pipeline_utils.py:632 `passed_class_obj` semantics)
-        passed_components = {k: kwargs.pop(k) for k in list(kwargs) if k in expected}
+        `custom_pipeline` loads the pipeline class from custom code — a .py
+        file, a folder containing pipeline.py, or the name of a .py inside
+        the checkpoint folder — gated by `trust_remote_code=True` (reference
+        `pipeline_loading_utils.py:496` + `dynamic_modules_utils.py:460`)."""
+        from ..utils.hub_utils import snapshot_download_repo
 
         root = str(pretrained_model_name_or_path)
         if root.endswith(".dduf") and os.path.isfile(root):
@@ -307,6 +309,27 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
             root = extract_dduf(root)
         elif not os.path.isdir(root):
             root = snapshot_download_repo(root, **kwargs)
+
+        if custom_pipeline is not None:
+            from ..utils.dynamic_modules_utils import get_class_from_dynamic_module
+
+            if os.path.isdir(custom_pipeline) or custom_pipeline.endswith(".py"):
+                location, module_file = custom_pipeline, "pipeline.py"
+            else:  # a module name inside the checkpoint folder
+                location, module_file = root, f"{custom_pipeline.removesuffix('.py')}.py"
+            target = get_class_from_dynamic_module(
+                location, module_file=module_file, trust_remote_code=trust_remote_code,
+                base_class=DiffusionPipeline,
+            )
+            return target.from_pretrained(
+                root, dtype=dtype, variant=variant,
+                quantization_config=quantization_config, mesh=mesh, **kwargs,
+            )
+
+        expected = set(inspect.signature(cls.__init__).parameters.keys()) - {"self"}
+        # components passed directly override loading (reference
+        # pipeline_utils.py:632 `passed_class_obj` semantics)
+        passed_components = {k: kwargs.pop(k) for k in list(kwargs) if k in expected}
 
         with open(os.path.join(root, PIPELINE_CONFIG_NAME)) as f:
             config_dict = json.load(f)

@@ -36,13 +36,11 @@ DIFFUSERS_DYNAMIC_MODULE_NAME = "diffusers_tpu_modules"
 DIFFUSERS_TPU_ATTN_BACKEND = os.getenv("DIFFUSERS_TPU_ATTN_BACKEND", "") or None
 # Validate q/k/v shapes+dtypes on every dispatch (debug aid; off by default).
 DIFFUSERS_TPU_ATTN_CHECKS = _flag("DIFFUSERS_TPU_ATTN_CHECKS")
-# Globally refuse to import custom pipeline/block code from model repos.
+# Globally refuse to import custom pipeline/block code from model repos
+# (enforced at call time in utils/dynamic_modules_utils._check_trust).
 DIFFUSERS_TPU_DISABLE_REMOTE_CODE = _flag("DIFFUSERS_TPU_DISABLE_REMOTE_CODE")
-# Compute dtype for pipelines that don't specify one ("bfloat16" on TPU).
-DIFFUSERS_TPU_DEFAULT_DTYPE = os.getenv("DIFFUSERS_TPU_DEFAULT_DTYPE", "bfloat16")
-# Thread-pool width for parallel safetensors shard loading (0 = serial).
+# Thread-pool width for parallel safetensors shard loading (<=1 = serial;
+# consumed by models.modeling_utils.stream_load_params).
 DIFFUSERS_TPU_PARALLEL_LOADING_WORKERS = int(
     os.environ.get("DIFFUSERS_TPU_PARALLEL_LOADING_WORKERS", "8")
 )
-# Donate denoise-loop buffers inside pipeline jit (memory win; disable to debug).
-DIFFUSERS_TPU_DONATE_BUFFERS = _flag("DIFFUSERS_TPU_DONATE_BUFFERS", "1")
