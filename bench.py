@@ -15,12 +15,15 @@ the reference ships, `hooks/taylorseer_cache.py`) against the same dense
 A100 bar, separately labeled, with the cached-vs-dense output cosine
 similarity reported alongside so the quality cost is visible.
 
-Precision note (measured, round 3, v5e): dense bf16 UNet fwd runs at ~81%
-of this chip's practical bf16 ceiling; int8 (Pallas w8a8 AND XLA-native
-dots) wins 1.2-1.7x on isolated big matmuls but LOSES end-to-end on the
-composed UNet graph (195 ms vs 123 ms fwd) — quant/dequant boundaries break
-XLA fusion around attention. So the honest dense config is bf16; int8
-remains available via Int8DynamicActConfig for matmul-dominated models.
+Precision note (measured, v5e): dense bf16 UNet fwd runs at ~81% of this
+chip's practical bf16 ceiling; int8 (Pallas w8a8 AND XLA-native dots) wins
+1.2-1.7x on isolated big matmuls but LOSES end-to-end on the composed UNet
+graph (195 ms vs 123 ms fwd) — quant/dequant boundaries break XLA fusion
+around attention. So the honest dense SDXL config is bf16. For Flux
+(matmul-dominated, 11.9B params) w8a8 is the honest WIN on one v5e: measured
+460.7 ms/step = ~60% of int8 peak, BELOW the bf16 theoretical floor for the
+same graph (~110 TFLOP/step / 197 TF/s ≈ 557 ms — besides not fitting HBM);
+fp8 weight-only measured 565 ms (dequant traffic unfused), so w8a8 stays.
 """
 
 from __future__ import annotations
@@ -127,8 +130,10 @@ def build_sdxl_pipeline():
 def bench_sdxl_pipeline_e2e(num_steps: int = 30):
     """Dense + TaylorSeer-cached wall-clock through the public pipeline API.
 
-    Returns (dense_sec_per_image, cached_sec_per_image, cosine_sim). The
-    `output_type="np"` host transfer is the timing fence (through the axon
+    Returns (dense_sec_per_image, cached_sec_per_image, cosine_sim). Timed
+    with the DEFAULT `output_type="pil"` (what users run; prep + 30-step CFG
+    scan + VAE decode + uint8 postprocess compile into ONE jit, so the host
+    transfer of the uint8 image is the timing fence — through the axon
     tunnel `block_until_ready` does not actually wait)."""
     from diffusers_tpu.hooks.taylorseer import TaylorSeerCacheConfig
 
@@ -136,7 +141,7 @@ def bench_sdxl_pipeline_e2e(num_steps: int = 30):
     call = lambda: pipe(
         "a photo of an astronaut riding a horse on mars",
         num_inference_steps=num_steps, guidance_scale=5.0,
-        key=jax.random.PRNGKey(0), output_type="np",
+        key=jax.random.PRNGKey(0), output_type="pil",
     ).images
 
     dense_img = call()  # compile
@@ -146,15 +151,16 @@ def bench_sdxl_pipeline_e2e(num_steps: int = 30):
         dense_img = call()
     dense_s = (time.perf_counter() - start) / n_iters
 
-    pipe.enable_cache(TaylorSeerCacheConfig(cache_interval=5, disable_cache_before_step=3, max_order=1))
+    # tuned schedule (measured r4: 5 full forwards/30 steps, cosine 0.997)
+    pipe.enable_cache(TaylorSeerCacheConfig(cache_interval=10, disable_cache_before_step=2, max_order=2))
     cached_img = call()  # recompile (cache adds scan-carry state)
     start = time.perf_counter()
     for _ in range(n_iters):
         cached_img = call()
     cached_s = (time.perf_counter() - start) / n_iters
 
-    a = dense_img.astype(np.float64).ravel()
-    b = cached_img.astype(np.float64).ravel()
+    a = np.asarray(dense_img[0]).astype(np.float64).ravel()
+    b = np.asarray(cached_img[0]).astype(np.float64).ravel()
     cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     return dense_s, cached_s, cos
 

@@ -104,9 +104,17 @@ def _pallas_flash_attention(query, key, value, attn_mask=None, scale=None, is_ca
 def _ring_attention_backend(query, key, value, attn_mask=None, scale=None, is_causal=False):
     """Sequence-parallel ring attention over the ambient mesh's sequence axis
     (reference TemplatedRingAttention, attention_dispatch.py:2229). Requires an
-    active ParallelEnv (pipeline.enable_parallelism); falls back to native when
-    none is set or the call shape can't shard."""
+    active ParallelEnv (pipeline.enable_parallelism); sequences that don't
+    divide the sequence axis are padded + key-masked + trimmed (reference
+    TemplatedRingAnythingAttention, attention_dispatch.py:2460); falls back to
+    native only when no env is set or a general dense mask is given."""
     env = _get_env()
+    if env is not None and env.sequence_degree > 1:
+        padded = _pad_for_cp(query, key, value, attn_mask, env, need_head_split=False)
+        if padded is not None:
+            q2, k2, v2, mask2, sq = padded
+            out = _ring_attention_backend(q2, k2, v2, attn_mask=mask2, scale=scale, is_causal=is_causal)
+            return out[:, :sq]
     if not _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=False):
         return _native_attention(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
     from ..parallel.context_parallel import ring_attention
@@ -139,8 +147,15 @@ def _ring_attention_backend(query, key, value, attn_mask=None, scale=None, is_ca
 def _ulysses_attention_backend(query, key, value, attn_mask=None, scale=None, is_causal=False):
     """Sequence-parallel Ulysses attention (all-to-all heads↔seq scatter) over
     the ambient mesh's sequence axis (reference TemplatedUlyssesAttention,
-    attention_dispatch.py:2359)."""
+    attention_dispatch.py:2359). Non-dividing sequences are padded + trimmed
+    (reference TemplatedUlyssesAnythingAttention, attention_dispatch.py:2573)."""
     env = _get_env()
+    if env is not None and env.sequence_degree > 1:
+        padded = _pad_for_cp(query, key, value, attn_mask, env, need_head_split=True)
+        if padded is not None:
+            q2, k2, v2, mask2, sq = padded
+            out = _ulysses_attention_backend(q2, k2, v2, attn_mask=mask2, scale=scale, is_causal=is_causal)
+            return out[:, :sq]
     if not _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=True):
         return _native_attention(query, key, value, attn_mask=attn_mask, scale=scale, is_causal=is_causal)
     from ..parallel.context_parallel import ulysses_attention
@@ -193,23 +208,60 @@ def _as_key_mask(attn_mask, batch: int, sk: int):
     return jnp.broadcast_to(km, (batch, sk))
 
 
-def _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split: bool) -> bool:
+def _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split: bool,
+                   allow_uneven: bool = False) -> bool:
     """Can this call run sequence-parallel? Both q and kv sequences must tile
-    evenly over the sequence axis. Key-validity (text-padding) masks and
-    causal attention shard fine (ring rotates the mask / builds block causal
-    masks — reference handles these via TemplatedRingAnythingAttention,
-    attention_dispatch.py:2460); only general dense masks fall back."""
+    evenly over the sequence axis (with `allow_uneven`, non-dividing lengths
+    count as shardable — the backends pad + key-mask + trim, reference
+    TemplatedRingAnythingAttention, attention_dispatch.py:2460). Key-validity
+    (text-padding) masks and causal attention shard fine; only general dense
+    masks fall back."""
     if env is None or env.sequence_degree <= 1:
         return False
     if attn_mask is not None and _as_key_mask(attn_mask, query.shape[0], key.shape[1]) is None:
         return False
     n = env.sequence_degree
     b, s, h, d = query.shape
-    if s % n != 0 or key.shape[1] % n != 0:
+    if not allow_uneven and (s % n != 0 or key.shape[1] % n != 0):
         return False
     if need_head_split and h % n != 0:
         return False
     return True
+
+
+_warned_cp_padding = False
+
+
+def _pad_for_cp(query, key, value, attn_mask, env, need_head_split: bool):
+    """Pad q/kv to the next sequence-axis multiple with an all-False key mask
+    over the padding; returns (q, k, v, key_mask, orig_sq) or None when no
+    padding is needed / the call can't shard anyway."""
+    n = env.sequence_degree
+    b, sq, h, d = query.shape
+    sk = key.shape[1]
+    pad_q = (-sq) % n
+    pad_k = (-sk) % n
+    if pad_q == 0 and pad_k == 0:
+        return None
+    if need_head_split and h % n != 0:
+        return None
+    key_mask = _as_key_mask(attn_mask, b, sk)
+    if attn_mask is not None and key_mask is None:
+        return None  # general dense mask: can't shard at all
+    global _warned_cp_padding
+    if not _warned_cp_padding:
+        logger.warning(
+            f"sequence-parallel attention: seq lengths (q={sq}, kv={sk}) don't divide "
+            f"sequence_degree={n}; padding to the next multiple and trimming (one-time notice)."
+        )
+        _warned_cp_padding = True
+    q2 = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    k2 = jnp.pad(key, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    v2 = jnp.pad(value, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    if key_mask is None:
+        key_mask = jnp.ones((b, sk), dtype=jnp.bool_)
+    mask2 = jnp.pad(key_mask, ((0, 0), (0, pad_k)), constant_values=False)
+    return q2, k2, v2, mask2, sq
 
 
 def dispatch_attention_fn(
@@ -255,7 +307,7 @@ def _auto_backend(query: jax.Array, key: jax.Array, attn_mask=None, is_causal: b
     # Sequence-parallel first: an active ParallelEnv with sequence_degree > 1
     # routes self-attention through ulysses (heads divide) or ring.
     env = _get_env()
-    if _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=False):
+    if _cp_applicable(env, query, key, attn_mask, is_causal, need_head_split=False, allow_uneven=True):
         if env.cp_backend is not None:
             return env.cp_backend
         n = env.sequence_degree

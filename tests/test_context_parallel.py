@@ -131,3 +131,37 @@ def test_cp_causal_plus_key_mask(backend):
     ref = dispatch_attention_fn(q, k, v, attn_mask=key_mask[:, None, None, :], is_causal=True, backend="native")
     out = _run_cp_backend(backend, q, k, v, attn_mask=key_mask[:, None, None, :], is_causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# uneven shards (round 4): seq % sequence_degree != 0 pads + key-masks +
+# trims instead of silently falling back to replicated native (reference
+# TemplatedRing/UlyssesAnythingAttention, attention_dispatch.py:2460,2573)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("backend", ["ring", "ulysses"])
+def test_cp_uneven_seq_pads_and_matches(backend):
+    q, k, v = _qkv(s=70)  # 70 % 4 != 0
+    ref = dispatch_attention_fn(q, k, v, backend="native")
+    out = _run_cp_backend(backend, q, k, v)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["ring", "ulysses"])
+def test_cp_uneven_seq_with_key_mask(backend):
+    q, k, v = _qkv(s=70)
+    rng = np.random.RandomState(9)
+    key_mask = jnp.asarray(rng.rand(2, 70) > 0.3).at[:, 0].set(True)
+    ref = dispatch_attention_fn(q, k, v, attn_mask=key_mask[:, None, None, :], backend="native")
+    out = _run_cp_backend(backend, q, k, v, attn_mask=key_mask[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["ring"])
+def test_cp_uneven_seq_causal(backend):
+    q, k, v = _qkv(s=70)
+    ref = dispatch_attention_fn(q, k, v, is_causal=True, backend="native")
+    out = _run_cp_backend(backend, q, k, v, is_causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
