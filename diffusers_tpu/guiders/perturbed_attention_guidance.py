@@ -73,16 +73,27 @@ class PerturbedAttentionGuidance(BaseGuidance):
         return jnp.where(enabled, pred, pred_cond)
 
 
-def iter_self_attention_names(unet):
-    """(dotted_name, attn1_module) for every self-attention in a UNet."""
-    blocks = [(f"down_blocks.{i}", b) for i, b in enumerate(unet.down_blocks)]
-    blocks.append(("mid_block", unet.mid_block))
-    blocks += [(f"up_blocks.{i}", b) for i, b in enumerate(unet.up_blocks)]
-    for prefix, block in blocks:
-        for j, t2d in enumerate(getattr(block, "attentions", None) or []):
-            for k, tb in enumerate(t2d.transformer_blocks):
-                if getattr(tb, "attn1", None) is not None:
-                    yield f"{prefix}.attentions.{j}.transformer_blocks.{k}.attn1", tb.attn1
+def iter_self_attention_names(model):
+    """(dotted_name, self_attention_module) for every perturbable
+    self-attention — UNets (down/mid/up transformer blocks' attn1) and DiT
+    transformers (transformer_blocks[*].attn / attn1)."""
+    if hasattr(model, "down_blocks"):  # UNet family
+        blocks = [(f"down_blocks.{i}", b) for i, b in enumerate(model.down_blocks)]
+        blocks.append(("mid_block", model.mid_block))
+        blocks += [(f"up_blocks.{i}", b) for i, b in enumerate(model.up_blocks)]
+        for prefix, block in blocks:
+            for j, t2d in enumerate(getattr(block, "attentions", None) or []):
+                for k, tb in enumerate(t2d.transformer_blocks):
+                    if getattr(tb, "attn1", None) is not None:
+                        yield f"{prefix}.attentions.{j}.transformer_blocks.{k}.attn1", tb.attn1
+        return
+    if hasattr(model, "transformer_blocks"):  # DiT family (SD3, ...)
+        for k, tb in enumerate(model.transformer_blocks):
+            attn = getattr(tb, "attn", None) or getattr(tb, "attn1", None)
+            if attn is not None and hasattr(type(attn), "pag_identity"):
+                yield f"transformer_blocks.{k}.attn", attn
+        return
+    raise ValueError(f"{type(model).__name__} has no PAG-perturbable attention layers")
 
 
 def select_pag_layers(unet, patterns: Union[str, List[str]]):

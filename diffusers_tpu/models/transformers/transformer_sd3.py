@@ -97,6 +97,11 @@ class JointAttention(Module):
             if not context_pre_only:
                 self.to_add_out = Linear(self.inner_dim, added_kv_proj_dim, use_bias=True)
 
+    # trace-time PAG flag: perturbed forward masks image↔image attention to
+    # identity (diagonal only), image→text left intact — the reference's
+    # PAGJointAttnProcessor2_0 full_mask (attention_processor.py:1620-1633)
+    pag_identity: bool = False
+
     def __call__(self, params: Params, hidden_states, encoder_hidden_states=None, backend=None):
         b, sample_len = hidden_states.shape[0], hidden_states.shape[1]
         q = self.to_q(params["to_q"], hidden_states).reshape(b, -1, self.heads, self.dim_head)
@@ -117,7 +122,13 @@ class JointAttention(Module):
             k = jnp.concatenate([k, ek], axis=1)
             v = jnp.concatenate([v, ev], axis=1)
 
-        out = dispatch_attention_fn(q, k, v, backend=backend)
+        attn_mask = None
+        if self.pag_identity:
+            sq = q.shape[1]
+            neg = jnp.finfo(jnp.float32).min
+            img = jnp.where(jnp.eye(sample_len, dtype=bool), 0.0, neg)
+            attn_mask = jnp.zeros((sq, sq), jnp.float32).at[:sample_len, :sample_len].set(img)[None, None]
+        out = dispatch_attention_fn(q, k, v, attn_mask=attn_mask, backend=backend)
         out = out.reshape(b, -1, self.heads * self.dim_head).astype(q.dtype)
 
         if encoder_hidden_states is not None:

@@ -40,9 +40,19 @@ _FAMILIES: Dict[str, Dict[str, str]] = {
     },
     "stable-diffusion-controlnet": {
         "t2i": "controlnet.pipeline_controlnet.StableDiffusionControlNetPipeline",
+        "i2i": "controlnet.pipeline_controlnet_img2img.StableDiffusionControlNetImg2ImgPipeline",
+        "inpaint": "controlnet.pipeline_controlnet_inpaint.StableDiffusionControlNetInpaintPipeline",
     },
     "stable-diffusion-xl-controlnet": {
         "t2i": "controlnet.pipeline_controlnet_sd_xl.StableDiffusionXLControlNetPipeline",
+    },
+    "stable-diffusion-xl-controlnet-union": {
+        "t2i": "controlnet.pipeline_controlnet_union_sd_xl.StableDiffusionXLControlNetUnionPipeline",
+    },
+    "stable-diffusion-xl-pag": {"t2i": "pag.pipeline_pag_sd_xl.StableDiffusionXLPAGPipeline"},
+    "stable-diffusion-3-pag": {"t2i": "pag.pipeline_pag_sd_3.StableDiffusion3PAGPipeline"},
+    "stable-diffusion-xl-pix2pix": {
+        "i2i": "stable_diffusion_xl.pipeline_stable_diffusion_xl_instruct_pix2pix.StableDiffusionXLInstructPix2PixPipeline",
     },
     "stable-diffusion-3-controlnet": {
         "t2i": "controlnet_sd3.pipeline_stable_diffusion_3_controlnet.StableDiffusion3ControlNetPipeline",
@@ -116,7 +126,8 @@ _FAMILIES: Dict[str, Dict[str, str]] = {
     # video
     "wan": {"t2v": "wan.pipeline_wan.WanPipeline", "i2v": "wan.pipeline_wan_i2v.WanImageToVideoPipeline"},
     "wan-vace": {"t2v": "wan.pipeline_wan_vace.WanVACEPipeline"},
-    "ltx": {"t2v": "ltx.pipeline_ltx.LTXPipeline"},
+    "ltx": {"t2v": "ltx.pipeline_ltx.LTXPipeline",
+            "i2v": "ltx.pipeline_ltx_image2video.LTXImageToVideoPipeline"},
     "ltx2": {"t2v": "ltx2.pipeline_ltx2.LTX2Pipeline"},
     "hunyuan-video": {"t2v": "hunyuan_video.pipeline_hunyuan_video.HunyuanVideoPipeline"},
     "hunyuan-video15": {"t2v": "hunyuan_video1_5.pipeline_hunyuan_video1_5.HunyuanVideo15Pipeline",

@@ -90,6 +90,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderDC": "diffusers_tpu.models.autoencoders.autoencoder_dc.AutoencoderDC",
     "SanaTransformer2DModel": "diffusers_tpu.models.transformers.sana_transformer.SanaTransformer2DModel",
     "ControlNetModel": "diffusers_tpu.models.controlnets.controlnet.ControlNetModel",
+    "ControlNetUnionModel": "diffusers_tpu.models.controlnets.controlnet_union.ControlNetUnionModel",
     "PixArtTransformer2DModel": "diffusers_tpu.models.transformers.pixart_transformer_2d.PixArtTransformer2DModel",
     "LTXVideoTransformer3DModel": "diffusers_tpu.models.transformers.transformer_ltx.LTXVideoTransformer3DModel",
     "AutoencoderKLLTXVideo": "diffusers_tpu.models.autoencoders.autoencoder_kl_ltx.AutoencoderKLLTXVideo",
