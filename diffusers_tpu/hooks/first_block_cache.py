@@ -48,6 +48,61 @@ def init_fbc_state(hidden_shape, context_shape, dtype=jnp.float32) -> FBCState:
     )
 
 
+# ---------------------------------------------------------------------------
+# generic single-stream FBC (round 4): models with one homogeneous block
+# stack over a single hidden stream (Wan/SD3/LTX...) take `fbc_state` +
+# `fbc_config` in their __call__ and run the head/tail split in place —
+# reference hook pair first_block_cache.py:66-258, re-expressed as scan-carry
+# state + lax.cond so skipped steps genuinely save the tail blocks' FLOPs.
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class FBCSingleState:
+    prev_first_residual: jax.Array  # first block's residual at last computed step
+    tail_residual: jax.Array  # final_hidden − after_first_hidden at last computed step
+    valid: jax.Array  # bool scalar — True after the first computed step
+
+
+def init_fbc_single_state(hidden_shape, dtype=jnp.float32) -> FBCSingleState:
+    return FBCSingleState(
+        prev_first_residual=jnp.zeros(hidden_shape, dtype=dtype),
+        tail_residual=jnp.zeros(hidden_shape, dtype=dtype),
+        valid=jnp.asarray(False),
+    )
+
+
+def fbc_should_compute(state, config: FirstBlockCacheConfig, first_residual: jax.Array):
+    """Traced skip decision (reference `:66` head hook): relative abs-mean
+    change of the first block's residual vs the last computed step."""
+    diff = jnp.mean(jnp.abs(first_residual - state.prev_first_residual))
+    prev_mean = jnp.mean(jnp.abs(state.prev_first_residual))
+    rel = diff / jnp.maximum(prev_mean, 1e-12)
+    return (~state.valid) | (rel > config.threshold)
+
+
+def fbc_single_gate(state: FBCSingleState, config: FirstBlockCacheConfig,
+                    first_residual: jax.Array, hidden: jax.Array, tail_fn):
+    """Run `tail_fn(hidden) -> final_hidden` or replay the cached tail
+    residual. Returns (final_hidden, new_state)."""
+    should = fbc_should_compute(state, config, first_residual)
+
+    def compute(h):
+        out = tail_fn(h)
+        return out, out - h
+
+    def reuse(h):
+        return h + state.tail_residual, state.tail_residual
+
+    hidden, tail_residual = jax.lax.cond(should, compute, reuse, hidden)
+    new_state = FBCSingleState(
+        prev_first_residual=jnp.where(should, first_residual, state.prev_first_residual),
+        tail_residual=tail_residual,
+        valid=jnp.asarray(True),
+    )
+    return hidden, new_state
+
+
 def flux_forward_with_fbc(
     model,
     params,

@@ -304,6 +304,8 @@ class LTXVideoTransformer3DModel(Module, ModelMixin, ConfigMixin):
         video_coords: Optional[jax.Array] = None,
         image_rotary_emb: Optional[Tuple[jax.Array, jax.Array]] = None,
         scan_blocks: bool = False,
+        fbc_state=None,
+        fbc_config=None,
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         batch_size = hidden_states.shape[0]
@@ -338,7 +340,28 @@ class LTXVideoTransformer3DModel(Module, ModelMixin, ConfigMixin):
         encoder_hidden_states = self.caption_projection(params["caption_projection"], encoder_hidden_states)
         encoder_hidden_states = encoder_hidden_states.reshape(batch_size, -1, hidden_states.shape[-1])
 
-        if scan_blocks:
+        if fbc_state is not None:
+            # first-block cache (hooks/first_block_cache.py)
+            from ...hooks.first_block_cache import fbc_single_gate
+
+            first_in = hidden_states
+            hidden_states = self.transformer_blocks[0](
+                params["transformer_blocks"][0], hidden_states, encoder_hidden_states, temb,
+                image_rotary_emb, encoder_attention_mask,
+            )
+
+            def tail(h):
+                for i, block in enumerate(self.transformer_blocks):
+                    if i == 0:
+                        continue
+                    h = block(params["transformer_blocks"][i], h, encoder_hidden_states, temb,
+                              image_rotary_emb, encoder_attention_mask)
+                return h
+
+            hidden_states, fbc_state = fbc_single_gate(
+                fbc_state, fbc_config, hidden_states - first_in, hidden_states, tail
+            )
+        elif scan_blocks:
             stack = params["transformer_blocks"]
             if isinstance(stack, dict) and 0 in stack:
                 stack = jax.tree.map(
@@ -375,6 +398,10 @@ class LTXVideoTransformer3DModel(Module, ModelMixin, ConfigMixin):
         hidden_states = hidden_states * (1 + scale) + shift
         output = self.proj_out(params["proj_out"], hidden_states)
 
+        if fbc_state is not None:
+            if not return_dict:
+                return (output, fbc_state)
+            return Transformer2DModelOutput(sample=output), fbc_state
         if not return_dict:
             return (output,)
         return Transformer2DModelOutput(sample=output)

@@ -277,6 +277,8 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
         pooled_projections: jax.Array,  # [B, pooled_projection_dim]
         timestep: jax.Array,  # [B]
         block_controlnet_hidden_states: Optional[list] = None,
+        fbc_state=None,
+        fbc_config=None,
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         height, width = hidden_states.shape[-2], hidden_states.shape[-1]
@@ -286,16 +288,40 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
         temb = self.time_text_embed(params["time_text_embed"], timestep, pooled_projections)
         encoder_hidden_states = self.context_embedder(params["context_embedder"], encoder_hidden_states)
 
-        for i, block in enumerate(self.transformer_blocks):
-            hidden_states, new_context = block(
-                params["transformer_blocks"][i], hidden_states, encoder_hidden_states, temb
+        if fbc_state is not None:
+            # first-block cache on the sample stream (hooks/first_block_cache.py)
+            from ...hooks.first_block_cache import fbc_single_gate
+
+            first_in = hidden_states
+            hidden_states, new_context = self.transformer_blocks[0](
+                params["transformer_blocks"][0], hidden_states, encoder_hidden_states, temb
             )
-            if new_context is not None:
-                encoder_hidden_states = new_context
-            # controlnet residual (reference transformer_sd3.py:324-326)
-            if block_controlnet_hidden_states is not None and not block.context_pre_only:
-                interval = len(self.transformer_blocks) / len(block_controlnet_hidden_states)
-                hidden_states = hidden_states + block_controlnet_hidden_states[int(i / interval)]
+            ctx_after_first = new_context if new_context is not None else encoder_hidden_states
+
+            def tail(h):
+                ctx = ctx_after_first
+                for i, block in enumerate(self.transformer_blocks):
+                    if i == 0:
+                        continue
+                    h, new_ctx = block(params["transformer_blocks"][i], h, ctx, temb)
+                    if new_ctx is not None:
+                        ctx = new_ctx
+                return h
+
+            hidden_states, fbc_state = fbc_single_gate(
+                fbc_state, fbc_config, hidden_states - first_in, hidden_states, tail
+            )
+        else:
+            for i, block in enumerate(self.transformer_blocks):
+                hidden_states, new_context = block(
+                    params["transformer_blocks"][i], hidden_states, encoder_hidden_states, temb
+                )
+                if new_context is not None:
+                    encoder_hidden_states = new_context
+                # controlnet residual (reference transformer_sd3.py:324-326)
+                if block_controlnet_hidden_states is not None and not block.context_pre_only:
+                    interval = len(self.transformer_blocks) / len(block_controlnet_hidden_states)
+                    hidden_states = hidden_states + block_controlnet_hidden_states[int(i / interval)]
 
         hidden_states = self.norm_out(params["norm_out"], hidden_states, temb)
         hidden_states = self.proj_out(params["proj_out"], hidden_states)
@@ -306,6 +332,10 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
         hidden_states = jnp.einsum("bhwpqc->bchpwq", hidden_states)
         output = hidden_states.reshape(hidden_states.shape[0], self.out_channels, h * p, w * p)
 
+        if fbc_state is not None:
+            if not return_dict:
+                return (output, fbc_state)
+            return Transformer2DModelOutput(sample=output), fbc_state
         if not return_dict:
             return (output,)
         return Transformer2DModelOutput(sample=output)

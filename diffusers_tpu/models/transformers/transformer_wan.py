@@ -314,6 +314,8 @@ class WanTransformer3DModel(Module, ModelMixin, ConfigMixin):
         encoder_hidden_states: jax.Array,  # [B, S, text_dim]
         encoder_hidden_states_image: Optional[jax.Array] = None,
         rotary_emb: Optional[Tuple[jax.Array, jax.Array]] = None,
+        fbc_state=None,
+        fbc_config=None,
         return_dict: bool = True,
     ) -> Union[Transformer3DModelOutput, tuple]:
         b, c, f, h, w = hidden_states.shape
@@ -336,8 +338,26 @@ class WanTransformer3DModel(Module, ModelMixin, ConfigMixin):
         if encoder_hidden_states_image is not None:
             encoder_hidden_states = jnp.concatenate([encoder_hidden_states_image, encoder_hidden_states], axis=1)
 
-        for i, block in enumerate(self.blocks):
-            x = block(params["blocks"][i], x, encoder_hidden_states, timestep_proj, rotary_emb)
+        if fbc_state is not None:
+            # first-block cache (hooks/first_block_cache.py; reference
+            # hooks/first_block_cache.py:33): skip blocks[1:] when the first
+            # block's residual barely moved since the last computed step
+            from ...hooks.first_block_cache import fbc_single_gate
+
+            first_in = x
+            x = self.blocks[0](params["blocks"][0], x, encoder_hidden_states, timestep_proj, rotary_emb)
+
+            def tail(h):
+                for i, block in enumerate(self.blocks):
+                    if i == 0:
+                        continue
+                    h = block(params["blocks"][i], h, encoder_hidden_states, timestep_proj, rotary_emb)
+                return h
+
+            x, fbc_state = fbc_single_gate(fbc_state, fbc_config, x - first_in, x, tail)
+        else:
+            for i, block in enumerate(self.blocks):
+                x = block(params["blocks"][i], x, encoder_hidden_states, timestep_proj, rotary_emb)
 
         shift, scale = [
             m.squeeze(1)
@@ -351,6 +371,10 @@ class WanTransformer3DModel(Module, ModelMixin, ConfigMixin):
         x = jnp.einsum("bfhwpqrc->bcfphqwr", x)
         output = x.reshape(b, self.out_channels, ppf * p_t, pph * p_h, ppw * p_w)
 
+        if fbc_state is not None:
+            if not return_dict:
+                return (output, fbc_state)
+            return Transformer3DModelOutput(sample=output), fbc_state
         if not return_dict:
             return (output,)
         return Transformer3DModelOutput(sample=output)

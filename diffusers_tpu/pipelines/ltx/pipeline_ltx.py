@@ -95,13 +95,44 @@ class LTXPipeline(DiffusionPipeline):
         return latents * std / scaling_factor + mean
 
     # ------------------------------------------------------------- denoise
-    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+    _supported_cache_configs = (
+        "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
+    )
 
     def _denoise(self, t_params, latents, prompt_embeds, prompt_mask, rope_cos, rope_sin,
                  timesteps, state, guidance_scale, guidance_rescale, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        cache_cfg = getattr(self, "_cache_config", None)
+        from ...hooks.first_block_cache import FirstBlockCacheConfig, init_fbc_single_state
         from ...hooks.generic_cache import denoise_scan
+
+        if isinstance(cache_cfg, FirstBlockCacheConfig):
+            b = latents.shape[0] * (2 if do_cfg else 1)
+            dim = transformer.config.num_attention_heads * transformer.config.attention_head_dim
+            fbc0 = init_fbc_single_state((b, latents.shape[1], dim))
+
+            def step_fn(carry, t):
+                latents, sstate, fbc = carry
+                latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                timestep = jnp.broadcast_to(t, (latent_input.shape[0],))
+                out_m, fbc = transformer(
+                    t_params, latent_input, prompt_embeds, timestep,
+                    encoder_attention_mask=prompt_mask,
+                    image_rotary_emb=(rope_cos, rope_sin),
+                    fbc_state=fbc, fbc_config=cache_cfg,
+                )
+                noise_pred = out_m.sample.astype(jnp.float32)
+                if do_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (text - uncond)
+                    if guidance_rescale > 0:
+                        noise_pred = rescale_noise_cfg(noise_pred, text, guidance_rescale)
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, fbc), None
+
+            (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, fbc0), timesteps)
+            return latents
 
         def forward(latents, t, sstate):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents

@@ -98,12 +98,44 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
         neg_embeds, neg_pooled = encode(negative_prompt)
         return prompt_embeds, neg_embeds, pooled, neg_pooled
 
+    _supported_cache_configs = (
+        "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
+    )
+
     def _denoise(self, t_params, latents, prompt_embeds, pooled, timesteps, state, guidance_scale, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        cache_cfg = getattr(self, "_cache_config", None)
+        from ...hooks.first_block_cache import FirstBlockCacheConfig, init_fbc_single_state
+        from ...hooks.generic_cache import denoise_scan
 
-        def step_fn(carry, t):
-            latents, sstate = carry
+        use_fbc = isinstance(cache_cfg, FirstBlockCacheConfig)
+        if use_fbc:
+            b = latents.shape[0] * (2 if do_cfg else 1)
+            p = transformer.config.patch_size
+            tokens = (latents.shape[2] // p) * (latents.shape[3] // p)
+            dim = transformer.config.num_attention_heads * transformer.config.attention_head_dim
+            fbc0 = init_fbc_single_state((b, tokens, dim))
+
+            def step_fn(carry, t):
+                latents, sstate, fbc = carry
+                latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                timestep = jnp.broadcast_to(t, (latent_input.shape[0],))
+                out_m, fbc = transformer(
+                    t_params, latent_input, prompt_embeds, pooled, timestep,
+                    fbc_state=fbc, fbc_config=cache_cfg,
+                )
+                noise_pred = out_m.sample
+                if do_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (text - uncond)
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, fbc), None
+
+            (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, fbc0), timesteps)
+            return latents
+
+        def forward(latents, t, sstate):
             latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
             timestep = jnp.broadcast_to(t, (latent_input.shape[0],))
             noise_pred = transformer(
@@ -112,11 +144,9 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
             if do_cfg:
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_scale * (text - uncond)
-            out = scheduler.step(sstate, noise_pred, t, latents)
-            return (out.prev_sample, out.state), None
+            return noise_pred
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
-        return latents
+        return denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg)
 
     def __call__(
         self,

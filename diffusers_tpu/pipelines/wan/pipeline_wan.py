@@ -66,13 +66,22 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
         negative_embeds = self._get_t5_prompt_embeds(negative_prompt, max_sequence_length)
         return prompt_embeds, negative_embeds
 
-    _supported_cache_configs = ("TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig")
+    _supported_cache_configs = (
+        "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
+    )
 
     def _denoise(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
                  timesteps, state, guidance_scale, do_cfg):
         transformer = self.transformer[0]
         scheduler = self.scheduler
+        cache_cfg = getattr(self, "_cache_config", None)
+        from ...hooks.first_block_cache import FirstBlockCacheConfig
         from ...hooks.generic_cache import denoise_scan
+
+        if isinstance(cache_cfg, FirstBlockCacheConfig):
+            return self._denoise_fbc(t_params, latents, prompt_embeds, negative_embeds,
+                                     rope_cos, rope_sin, timesteps, state, guidance_scale,
+                                     do_cfg, cache_cfg)
 
         def forward(latents, t, sstate):
             timestep = jnp.broadcast_to(t, (latents.shape[0],))
@@ -86,8 +95,42 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
                 return noise_uncond + guidance_scale * (noise_cond - noise_uncond)
             return noise_cond
 
-        return denoise_scan(forward, scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+        return denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg)
+
+    def _denoise_fbc(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
+                     timesteps, state, guidance_scale, do_cfg, cache_cfg):
+        """First-block-cached denoise: the cond and uncond forwards carry
+        SEPARATE FBC states (the reference separates them with
+        cache_context("cond"/"uncond"), models/cache_utils.py:155)."""
+        transformer = self.transformer[0]
+        scheduler = self.scheduler
+        from ...hooks.first_block_cache import init_fbc_single_state
+
+        b, c, f, h, w = latents.shape
+        p_t, p_h, p_w = transformer.config.patch_size
+        tokens = (f // p_t) * (h // p_h) * (w // p_w)
+        dim = transformer.config.num_attention_heads * transformer.config.attention_head_dim
+        fbc0 = init_fbc_single_state((b, tokens, dim))
+
+        def step_fn(carry, t):
+            latents, sstate, st_c, st_u = carry
+            timestep = jnp.broadcast_to(t, (latents.shape[0],))
+            out_c, st_c = transformer(
+                t_params, latents, timestep, prompt_embeds, rotary_emb=(rope_cos, rope_sin),
+                fbc_state=st_c, fbc_config=cache_cfg,
+            )
+            noise_pred = out_c.sample
+            if do_cfg:
+                out_u, st_u = transformer(
+                    t_params, latents, timestep, negative_embeds, rotary_emb=(rope_cos, rope_sin),
+                    fbc_state=st_u, fbc_config=cache_cfg,
+                )
+                noise_pred = out_u.sample + guidance_scale * (noise_pred - out_u.sample)
+            out = scheduler.step(sstate, noise_pred, t, latents)
+            return (out.prev_sample, out.state, st_c, st_u), None
+
+        (latents, _, _, _), _ = jax.lax.scan(step_fn, (latents, state, fbc0, fbc0), timesteps)
+        return latents
 
     def __call__(
         self,

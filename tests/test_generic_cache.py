@@ -69,12 +69,13 @@ def test_text_kv_cache_is_exact(family, runner):
 
 
 def test_enable_cache_raises_on_unsupported():
-    from diffusers_tpu.hooks.first_block_cache import FirstBlockCacheConfig
+    # Wan honors the generic trio + FirstBlockCache but not FasterCache
+    from diffusers_tpu.hooks.faster_cache import FasterCacheConfig
     from tests.test_pipeline_wan import get_dummy_pipeline
 
     pipe = get_dummy_pipeline()
     with pytest.raises(TypeError, match="does not support cache config"):
-        pipe.enable_cache(FirstBlockCacheConfig())
+        pipe.enable_cache(FasterCacheConfig())
 
 
 def test_enable_cache_raises_on_cacheless_pipeline():
