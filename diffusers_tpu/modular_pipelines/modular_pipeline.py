@@ -274,6 +274,27 @@ class ComponentsBundle:
         return f"ComponentsBundle({list(self.__dict__)})"
 
 
+_BLOCK_PACKS = {
+    # pipeline _class_name prefix -> block-pack import path
+    "StableDiffusionXL": "diffusers_tpu.modular_pipelines.stable_diffusion_xl:SDXL_BLOCKS",
+    "Flux": "diffusers_tpu.modular_pipelines.flux:FLUX_BLOCKS",
+    "StableDiffusion": "diffusers_tpu.modular_pipelines.stable_diffusion:SD_BLOCKS",
+}
+
+
+def _resolve_block_pack(class_name: str):
+    import importlib
+
+    for prefix in sorted(_BLOCK_PACKS, key=len, reverse=True):
+        if class_name.startswith(prefix):
+            module_path, attr = _BLOCK_PACKS[prefix].split(":")
+            return getattr(importlib.import_module(module_path), attr)
+    raise ValueError(
+        f"no modular block pack registered for pipeline class {class_name!r}; "
+        f"pass `blocks=` explicitly (registered: {list(_BLOCK_PACKS)})"
+    )
+
+
 class ModularPipeline:
     """Executable binding of a block (graph) to components (reference
     `:1623`). Call with user inputs; returns the PipelineState."""
@@ -285,6 +306,69 @@ class ModularPipeline:
     def update_components(self, **components):
         for k, v in components.items():
             setattr(self.components, k, v)
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path,
+        blocks: Optional[ModularPipelineBlocks] = None,
+        dtype=None,
+        variant: Optional[str] = None,
+        components_manager=None,
+        collection: Optional[str] = None,
+        **kwargs,
+    ) -> "ModularPipeline":
+        """Load every component of a saved (monolithic-layout) pipeline repo
+        into a ComponentsBundle and bind it to a block graph (reference
+        `modular_pipeline.py:1623` ModularPipeline.from_pretrained).
+
+        `blocks=None` resolves the block pack from the repo's
+        `model_index.json` `_class_name` (SDXL/Flux/SD registered). With a
+        `components_manager`, each loaded component is registered (content
+        dedup applies) under `collection`. Components passed as kwargs
+        override loading (reference `passed_class_obj` semantics).
+        """
+        import json
+        import os
+
+        from ..pipelines.pipeline_utils import PIPELINE_CONFIG_NAME, resolve_component_class
+        from ..utils.hub_utils import snapshot_download_repo
+
+        root = str(pretrained_model_name_or_path)
+        if not os.path.isdir(root):
+            root = snapshot_download_repo(root, **kwargs)
+        with open(os.path.join(root, PIPELINE_CONFIG_NAME)) as f:
+            config_dict = json.load(f)
+
+        if blocks is None:
+            blocks = _resolve_block_pack(config_dict.get("_class_name", ""))
+        if isinstance(blocks, type):
+            blocks = blocks()
+
+        passed = {k: kwargs.pop(k) for k in list(kwargs) if k in config_dict}
+        components = dict(passed)
+        for name, value in config_dict.items():
+            if name.startswith("_") or not isinstance(value, (list, tuple)) or len(value) != 2:
+                continue
+            if value[0] is None or name in passed:
+                continue
+            library, class_name = value
+            component_path = os.path.join(root, name)
+            component_cls, kind = resolve_component_class(library, class_name)
+            if kind == "tokenizer":
+                component = component_cls.from_pretrained(component_path)
+            elif hasattr(component_cls, "from_pretrained") and hasattr(component_cls, "init_params"):
+                model, params = component_cls.from_pretrained(
+                    root, subfolder=name, dtype=dtype, variant=variant
+                )
+                component = (model, params)
+            else:  # config-only components (schedulers, guiders)
+                component = component_cls.from_pretrained(component_path)
+            if components_manager is not None:
+                canonical = components_manager.add(name, component, collection=collection)
+                component = components_manager.get(canonical)
+            components[name] = component
+        return cls(blocks, ComponentsBundle(**components))
 
     def __call__(self, output: Optional[str] = None, **inputs):
         state = PipelineState()
