@@ -281,20 +281,26 @@ def main():
     a100_reference_imgs_per_sec = 0.51  # public SDXL 1024px 30-step A100 bf16
     bar = 2 * a100_reference_imgs_per_sec
 
-    # real-pipeline e2e: dense + cached through StableDiffusionXLPipeline.__call__
-    dense_s, cached_s, cos = bench_sdxl_pipeline_e2e()
-    jax.clear_caches()
+    import sys
+    import traceback
 
-    # UNet-forward latency (continuity with earlier rounds' headline)
+    # UNet-forward latency first (continuity with earlier rounds' headline;
+    # runs before the e2e pipeline so its HBM is untouched by other buffers)
     try:
         unet_latency_ms = round(bench_sdxl_step() * 1000, 3)
     except Exception:
+        traceback.print_exc(file=sys.stderr)
         unet_latency_ms = None
+    jax.clear_caches()
+
+    # real-pipeline e2e: dense + cached through StableDiffusionXLPipeline.__call__
+    dense_s, cached_s, cos = bench_sdxl_pipeline_e2e()
     jax.clear_caches()
 
     try:
         flux_step_ms = round(bench_flux_step() * 1000, 3)
     except Exception:  # keep the headline metric alive if flux OOMs
+        traceback.print_exc(file=sys.stderr)
         flux_step_ms = None
 
     dense_ips = 1.0 / dense_s
