@@ -148,6 +148,172 @@ def convert_xlabs_flux_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.n
     return out
 
 
+def convert_wan_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Wan trainer naming (``diffusion_model.blocks.N.self_attn...``) →
+    diffusers naming (reference `lora_conversion_utils.py:1845`
+    _convert_non_diffusers_wan_lora_to_diffusers, re-expressed as one
+    table-driven substitution pass + alpha folding).
+
+    Handles lora_down/lora_up OR lora_A/lora_B spellings, folds ``alpha``
+    into the A/B weights (balanced power-of-two split like the reference),
+    maps ``diff_b`` bias deltas to ``lora_B.bias``, and drops norm ``.diff``
+    keys (zero-valued in known checkpoints)."""
+    sd = {k[len("diffusion_model."):]: v for k, v in state_dict.items() if k.startswith("diffusion_model.")}
+    down_key = "lora_A" if any(".lora_A." in k for k in sd) else "lora_down"
+    up_key = "lora_B" if any(".lora_B." in k for k in sd) else "lora_up"
+
+    # module-path substitutions (theirs -> diffusers); applied longest-first
+    subs = [
+        ("self_attn.q", "attn1.to_q"), ("self_attn.k", "attn1.to_k"),
+        ("self_attn.v", "attn1.to_v"), ("self_attn.o", "attn1.to_out.0"),
+        ("cross_attn.k_img", "attn2.add_k_proj"), ("cross_attn.v_img", "attn2.add_v_proj"),
+        ("cross_attn.q", "attn2.to_q"), ("cross_attn.k", "attn2.to_k"),
+        ("cross_attn.v", "attn2.to_v"), ("cross_attn.o", "attn2.to_out.0"),
+        ("ffn.0", "ffn.net.0.proj"), ("ffn.2", "ffn.net.2"),
+        ("time_projection.1", "condition_embedder.time_proj"),
+        ("text_embedding.0", "condition_embedder.text_embedder.linear_1"),
+        ("text_embedding.2", "condition_embedder.text_embedder.linear_2"),
+        ("time_embedding.0", "condition_embedder.time_embedder.linear_1"),
+        ("time_embedding.2", "condition_embedder.time_embedder.linear_2"),
+        ("img_emb.proj.1", "condition_embedder.image_embedder.ff.net.0.proj"),
+        ("img_emb.proj.3", "condition_embedder.image_embedder.ff.net.2"),
+        ("head.head", "proj_out"),
+    ]
+
+    def map_path(path: str) -> str:
+        for theirs, ours in sorted(subs, key=lambda s: len(s[0]), reverse=True):
+            if f".{theirs}" in f".{path}":
+                return f".{path}".replace(f".{theirs}", f".{ours}")[1:]
+        return path
+
+    out: Dict[str, np.ndarray] = {}
+    alphas: Dict[str, float] = {}
+    for key, value in sd.items():
+        if key.endswith(".alpha"):
+            alphas[map_path(key[: -len(".alpha")])] = float(np.asarray(value))
+        elif key.endswith(f".{down_key}.weight"):
+            out[map_path(key[: -len(f".{down_key}.weight")]) + ".lora_A.weight"] = value
+        elif key.endswith(f".{up_key}.weight"):
+            out[map_path(key[: -len(f".{up_key}.weight")]) + ".lora_B.weight"] = value
+        elif key.endswith(".diff_b"):
+            out[map_path(key[: -len(".diff_b")]) + ".lora_B.bias"] = value
+        elif key.endswith(".diff"):
+            logger.debug(f"dropping norm diff key {key} (zero-valued in known Wan LoRAs)")
+        else:
+            logger.warning(f"unhandled Wan LoRA key {key}; skipping")
+
+    # fold alpha like the reference: scale split between A and B in balanced
+    # powers of two (keeps both matrices in a sane fp16 range)
+    for path, alpha in alphas.items():
+        a_key, b_key = path + ".lora_A.weight", path + ".lora_B.weight"
+        if a_key not in out or b_key not in out:
+            continue
+        rank = out[a_key].shape[0]
+        scale = alpha / rank
+        scale_down, scale_up = scale, 1.0
+        while scale_down * 2 < scale_up:
+            scale_down *= 2
+            scale_up /= 2
+        out[a_key] = out[a_key] * scale_down
+        out[b_key] = out[b_key] * scale_up
+    return {f"transformer.{k}": v for k, v in out.items()}
+
+
+def convert_diffusion_model_prefix_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Generic ``diffusion_model.``-prefixed LoRA whose inner names already
+    match diffusers module paths (LTX-Video, HiDream, many ComfyUI trainers;
+    reference `lora_conversion_utils.py:2159,2167`)."""
+    return {
+        "transformer." + k[len("diffusion_model."):]: v
+        for k, v in state_dict.items()
+        if k.startswith("diffusion_model.")
+    }
+
+
+_QWEN_PROTECTED = [
+    # flattened n-grams that keep their underscores when unflattening
+    "add_q_proj", "add_k_proj", "add_v_proj", "to_add_out",
+    "to_q", "to_k", "to_v", "to_out",
+    "txt_mlp", "img_mlp", "txt_mod", "img_mod",
+]
+_QWEN_TOP_LEVEL = {
+    "img_in": "img_in",
+    "txt_in": "txt_in",
+    "proj_out": "proj_out",
+    "norm_out_linear": "norm_out.linear",
+    "time_text_embed_timestep_embedder_linear_1": "time_text_embed.timestep_embedder.linear_1",
+    "time_text_embed_timestep_embedder_linear_2": "time_text_embed.timestep_embedder.linear_2",
+}
+
+
+def convert_qwen_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """QwenImage kohya-flattened naming (``lora_unet_transformer_blocks_N_...``)
+    → diffusers naming (reference `lora_conversion_utils.py:2226`
+    _convert_non_diffusers_qwen_lora_to_diffusers, lora_unet branch).
+
+    Underscore-unflattening with protected n-grams (to_q, img_mod, ...);
+    alpha is folded into the A/B pair with the reference's balanced
+    power-of-two split."""
+    sd = {k[len("lora_unet_"):]: v for k, v in state_dict.items() if k.startswith("lora_unet_")}
+
+    def convert_base(base: str) -> str:
+        for flat, dotted in _QWEN_TOP_LEVEL.items():
+            if base == flat or base.startswith(flat + "."):
+                return dotted + base[len(flat):]
+        rest = base[len("transformer_blocks_"):]
+        head, tail = (rest.split(".", 1) + [""])[:2]
+        tail = ("." + tail) if tail else ""
+        parts = head.split("_")
+        merged, i = [], 0
+        while i < len(parts):
+            for prot in sorted(_QWEN_PROTECTED, key=lambda p: -p.count("_")):
+                pw = prot.split("_")
+                if parts[i: i + len(pw)] == pw:
+                    merged.append(prot)
+                    i += len(pw)
+                    break
+            else:
+                merged.append(parts[i])
+                i += 1
+        return "transformer_blocks." + ".".join(merged) + tail
+
+    out, alphas = {}, {}
+    for key, value in sd.items():
+        if key.endswith(".alpha"):
+            alphas["transformer." + convert_base(key[: -len(".alpha")])] = float(np.asarray(value))
+            continue
+        for suffix, ours in ((".lora_down.weight", ".lora_A.weight"),
+                             (".lora_up.weight", ".lora_B.weight")):
+            if key.endswith(suffix):
+                out["transformer." + convert_base(key[: -len(suffix)]) + ours] = value
+                break
+        else:
+            logger.warning(f"unhandled Qwen LoRA key {key}; skipping")
+    for path, alpha in alphas.items():
+        a_key, b_key = path + ".lora_A.weight", path + ".lora_B.weight"
+        if a_key not in out or b_key not in out:
+            continue
+        scale = alpha / out[a_key].shape[0]
+        scale_down, scale_up = scale, 1.0
+        while scale_down * 2 < scale_up:
+            scale_down *= 2
+            scale_up /= 2
+        out[a_key] = out[a_key] * scale_down
+        out[b_key] = out[b_key] * scale_up
+    return out
+
+
+def _is_wan_lora(state_dict) -> bool:
+    return any(
+        k.startswith("diffusion_model.") and (".self_attn." in k or ".cross_attn." in k)
+        for k in state_dict
+    )
+
+
+def _is_qwen_kohya_lora(state_dict) -> bool:
+    return any(k.startswith("lora_unet_transformer_blocks_") for k in state_dict)
+
+
 def _is_xlabs_lora(state_dict) -> bool:
     return any(".processor." in k and (".down.weight" in k or ".up.weight" in k) for k in state_dict)
 
@@ -155,10 +321,16 @@ def _is_xlabs_lora(state_dict) -> bool:
 def group_lora_weights(
     state_dict: Dict[str, np.ndarray], component: Optional[str] = None
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[float]]]:
-    """Group flat lora keys into {module_path: (A, B, alpha)}; filters to the
+    """Group flat lora keys into {module_path: (A, B, alpha, bias)}; filters to the
     given component prefix (e.g. 'unet', 'transformer')."""
     if _is_xlabs_lora(state_dict):
         state_dict = convert_xlabs_flux_lora(state_dict)
+    elif _is_wan_lora(state_dict):
+        state_dict = convert_wan_lora(state_dict)
+    elif _is_qwen_kohya_lora(state_dict):
+        state_dict = convert_qwen_lora(state_dict)
+    elif any(k.startswith("diffusion_model.") for k in state_dict):
+        state_dict = convert_diffusion_model_prefix_lora(state_dict)
     elif any(".lora_down." in k or ".lora_up." in k for k in state_dict):
         state_dict = convert_kohya_lora(state_dict)
 
@@ -170,6 +342,8 @@ def group_lora_weights(
             path, leaf = re.sub(r"\.lora_A(\.default)?\.weight$", "", key), "A"
         elif key.endswith(".lora_B.weight") or key.endswith(".lora_B.default.weight"):
             path, leaf = re.sub(r"\.lora_B(\.default)?\.weight$", "", key), "B"
+        elif key.endswith(".lora_B.bias"):
+            path, leaf = key[: -len(".lora_B.bias")], "B_bias"
         else:
             continue
         if component is not None:
@@ -186,7 +360,8 @@ def group_lora_weights(
             logger.warning(f"incomplete LoRA pair at {path}; skipping")
             continue
         alpha = float(parts["alpha"]) if "alpha" in parts else None
-        out[path] = (np.asarray(parts["A"]), np.asarray(parts["B"]), alpha)
+        bias = np.asarray(parts["B_bias"]) if "B_bias" in parts else None
+        out[path] = (np.asarray(parts["A"]), np.asarray(parts["B"]), alpha, bias)
     return out
 
 
@@ -235,7 +410,9 @@ def fuse_lora(
     new_params = deep_copy_dicts(new_params)
 
     fused, missed = 0, []
-    for path, (A, B, alpha) in lora_weights.items():
+    for path, entry in lora_weights.items():
+        A, B, alpha = entry[0], entry[1], entry[2]
+        bias = entry[3] if len(entry) > 3 else None
         parts = [int(p) if p.isdigit() else p for p in path.split(".")]
         leaf_tree = _get_nested(new_params, parts)
         if leaf_tree is None or "kernel" not in leaf_tree:
@@ -246,6 +423,10 @@ def fuse_lora(
         delta = (B.astype(np.float32) @ A.astype(np.float32)).T * eff_scale
         kernel = leaf_tree["kernel"]
         leaf_tree["kernel"] = (kernel.astype(jnp.float32) + jnp.asarray(delta)).astype(kernel.dtype)
+        if bias is not None and "bias" in leaf_tree:
+            # diff_b bias delta (reference treats it as lora_bias)
+            old = leaf_tree["bias"]
+            leaf_tree["bias"] = (old.astype(jnp.float32) + scale * jnp.asarray(bias, jnp.float32)).astype(old.dtype)
         fused += 1
     if missed:
         logger.warning(f"{len(missed)} LoRA modules had no matching param path, e.g. {missed[:5]}")
@@ -277,7 +458,8 @@ def fuse_lora_multi(params, adapters):
     # collect per-path summed deltas
     deltas: Dict[str, np.ndarray] = {}
     for grouped, scale in adapters:
-        for path, (A, B, alpha) in grouped.items():
+        for path, entry in grouped.items():
+            A, B, alpha = entry[0], entry[1], entry[2]
             r = A.shape[0]
             eff = scale * ((alpha / r) if alpha is not None else 1.0)
             d = (B.astype(np.float32) @ A.astype(np.float32)).T * eff
