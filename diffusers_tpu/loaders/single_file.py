@@ -359,3 +359,177 @@ def load_flux_transformer_single_file(path_or_state_dict, config_overrides: Opti
 
     params = convert_torch_state_dict(model, converted, dtype=resolve_dtype(dtype, default=None))
     return model, params
+
+
+# ---------------------------------------------------------------------------
+# SD3 / SD3.5 MMDiT single-file (reference single_file_utils.py:1979
+# convert_sd3_transformer_checkpoint_to_diffusers, numpy re-derivation)
+# ---------------------------------------------------------------------------
+
+
+def is_sd3_single_file(sd: Dict[str, np.ndarray]) -> bool:
+    return any(
+        k.startswith(("joint_blocks.", "model.diffusion_model.joint_blocks.")) for k in sd
+    )
+
+
+def _swap_scale_shift(w: np.ndarray) -> np.ndarray:
+    shift, scale = np.split(w, 2, axis=0)
+    return np.concatenate([scale, shift], axis=0)
+
+
+def convert_sd3_transformer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """SAI MMDiT layout (`joint_blocks.N.{x_block,context_block}`) →
+    diffusers SD3Transformer2DModel keys. Fused qkv split into to_q/k/v;
+    final-layer AdaLN swapped shift<->scale like the reference."""
+    sd = {k.replace("model.diffusion_model.", ""): v for k, v in sd.items()}
+    out: Dict[str, np.ndarray] = {}
+    num_layers = max(int(k.split(".", 2)[1]) for k in sd if k.startswith("joint_blocks.")) + 1
+    dual_layers = {
+        int(k.split(".", 2)[1]) for k in sd if ".x_block.attn2.qkv.weight" in k
+    }
+    has_qk_norm = any("ln_q" in k for k in sd)
+    caption_dim = sd["context_embedder.weight"].shape[0]
+
+    out["pos_embed.pos_embed"] = sd["pos_embed"]
+    out["pos_embed.proj.weight"] = sd["x_embedder.proj.weight"]
+    out["pos_embed.proj.bias"] = sd["x_embedder.proj.bias"]
+    for ours, theirs in [
+        ("time_text_embed.timestep_embedder.linear_1", "t_embedder.mlp.0"),
+        ("time_text_embed.timestep_embedder.linear_2", "t_embedder.mlp.2"),
+        ("time_text_embed.text_embedder.linear_1", "y_embedder.mlp.0"),
+        ("time_text_embed.text_embedder.linear_2", "y_embedder.mlp.2"),
+        ("context_embedder", "context_embedder"),
+    ]:
+        out[f"{ours}.weight"] = sd[f"{theirs}.weight"]
+        out[f"{ours}.bias"] = sd[f"{theirs}.bias"]
+
+    for i in range(num_layers):
+        blk, last = f"transformer_blocks.{i}", i == num_layers - 1
+        for theirs_blk, q, k, v in [
+            (f"joint_blocks.{i}.x_block.attn", f"{blk}.attn.to_q", f"{blk}.attn.to_k", f"{blk}.attn.to_v"),
+            (f"joint_blocks.{i}.context_block.attn", f"{blk}.attn.add_q_proj", f"{blk}.attn.add_k_proj", f"{blk}.attn.add_v_proj"),
+        ]:
+            for suffix in ("weight", "bias"):
+                qw, kw, vw = np.split(sd[f"{theirs_blk}.qkv.{suffix}"], 3, axis=0)
+                out[f"{q}.{suffix}"], out[f"{k}.{suffix}"], out[f"{v}.{suffix}"] = qw, kw, vw
+        if has_qk_norm:
+            out[f"{blk}.attn.norm_q.weight"] = sd[f"joint_blocks.{i}.x_block.attn.ln_q.weight"]
+            out[f"{blk}.attn.norm_k.weight"] = sd[f"joint_blocks.{i}.x_block.attn.ln_k.weight"]
+            out[f"{blk}.attn.norm_added_q.weight"] = sd[f"joint_blocks.{i}.context_block.attn.ln_q.weight"]
+            out[f"{blk}.attn.norm_added_k.weight"] = sd[f"joint_blocks.{i}.context_block.attn.ln_k.weight"]
+        out[f"{blk}.attn.to_out.0.weight"] = sd[f"joint_blocks.{i}.x_block.attn.proj.weight"]
+        out[f"{blk}.attn.to_out.0.bias"] = sd[f"joint_blocks.{i}.x_block.attn.proj.bias"]
+        if not last:
+            out[f"{blk}.attn.to_add_out.weight"] = sd[f"joint_blocks.{i}.context_block.attn.proj.weight"]
+            out[f"{blk}.attn.to_add_out.bias"] = sd[f"joint_blocks.{i}.context_block.attn.proj.bias"]
+
+        if i in dual_layers:
+            for suffix in ("weight", "bias"):
+                qw, kw, vw = np.split(sd[f"joint_blocks.{i}.x_block.attn2.qkv.{suffix}"], 3, axis=0)
+                out[f"{blk}.attn2.to_q.{suffix}"] = qw
+                out[f"{blk}.attn2.to_k.{suffix}"] = kw
+                out[f"{blk}.attn2.to_v.{suffix}"] = vw
+            if has_qk_norm:
+                out[f"{blk}.attn2.norm_q.weight"] = sd[f"joint_blocks.{i}.x_block.attn2.ln_q.weight"]
+                out[f"{blk}.attn2.norm_k.weight"] = sd[f"joint_blocks.{i}.x_block.attn2.ln_k.weight"]
+            out[f"{blk}.attn2.to_out.0.weight"] = sd[f"joint_blocks.{i}.x_block.attn2.proj.weight"]
+            out[f"{blk}.attn2.to_out.0.bias"] = sd[f"joint_blocks.{i}.x_block.attn2.proj.bias"]
+
+        out[f"{blk}.norm1.linear.weight"] = sd[f"joint_blocks.{i}.x_block.adaLN_modulation.1.weight"]
+        out[f"{blk}.norm1.linear.bias"] = sd[f"joint_blocks.{i}.x_block.adaLN_modulation.1.bias"]
+        ctx_w = sd[f"joint_blocks.{i}.context_block.adaLN_modulation.1.weight"]
+        ctx_b = sd[f"joint_blocks.{i}.context_block.adaLN_modulation.1.bias"]
+        if last:
+            ctx_w, ctx_b = _swap_scale_shift(ctx_w), _swap_scale_shift(ctx_b)
+        out[f"{blk}.norm1_context.linear.weight"] = ctx_w
+        out[f"{blk}.norm1_context.linear.bias"] = ctx_b
+
+        out[f"{blk}.ff.net.0.proj.weight"] = sd[f"joint_blocks.{i}.x_block.mlp.fc1.weight"]
+        out[f"{blk}.ff.net.0.proj.bias"] = sd[f"joint_blocks.{i}.x_block.mlp.fc1.bias"]
+        out[f"{blk}.ff.net.2.weight"] = sd[f"joint_blocks.{i}.x_block.mlp.fc2.weight"]
+        out[f"{blk}.ff.net.2.bias"] = sd[f"joint_blocks.{i}.x_block.mlp.fc2.bias"]
+        if not last:
+            out[f"{blk}.ff_context.net.0.proj.weight"] = sd[f"joint_blocks.{i}.context_block.mlp.fc1.weight"]
+            out[f"{blk}.ff_context.net.0.proj.bias"] = sd[f"joint_blocks.{i}.context_block.mlp.fc1.bias"]
+            out[f"{blk}.ff_context.net.2.weight"] = sd[f"joint_blocks.{i}.context_block.mlp.fc2.weight"]
+            out[f"{blk}.ff_context.net.2.bias"] = sd[f"joint_blocks.{i}.context_block.mlp.fc2.bias"]
+
+    out["proj_out.weight"] = sd["final_layer.linear.weight"]
+    out["proj_out.bias"] = sd["final_layer.linear.bias"]
+    out["norm_out.linear.weight"] = _swap_scale_shift(sd["final_layer.adaLN_modulation.1.weight"])
+    out["norm_out.linear.bias"] = _swap_scale_shift(sd["final_layer.adaLN_modulation.1.bias"])
+    return out
+
+
+def load_sd3_transformer_single_file(path_or_state_dict, config_overrides: Optional[dict] = None,
+                                     dtype=None):
+    """SAI-layout SD3/SD3.5 single file → (SD3Transformer2DModel, params);
+    config inferred from the state dict (layer count, dual-attn layers,
+    qk_norm, pos_embed grid)."""
+    from ..models.modeling_utils import convert_torch_state_dict
+    from ..models.transformers.transformer_sd3 import SD3Transformer2DModel
+    from ..utils.jax_utils import resolve_dtype
+
+    sd = path_or_state_dict
+    if not isinstance(sd, dict):
+        sd = load_single_file_checkpoint(str(sd))
+    converted = convert_sd3_transformer_state_dict(sd)
+
+    inner_dim = converted["pos_embed.proj.weight"].shape[0]
+    num_layers = max(int(k.split(".")[1]) for k in converted if k.startswith("transformer_blocks.")) + 1
+    dual_layers = tuple(sorted(
+        int(k.split(".")[1]) for k in converted if k.endswith(".attn2.to_q.weight")
+    ))
+    head_dim = 64
+    cfg = dict(
+        sample_size=128,
+        patch_size=converted["pos_embed.proj.weight"].shape[-1],
+        in_channels=converted["pos_embed.proj.weight"].shape[1],
+        num_layers=num_layers,
+        attention_head_dim=head_dim,
+        num_attention_heads=inner_dim // head_dim,
+        joint_attention_dim=converted["context_embedder.weight"].shape[1],
+        caption_projection_dim=converted["context_embedder.weight"].shape[0],
+        pooled_projection_dim=converted["time_text_embed.text_embedder.linear_1.weight"].shape[1],
+        out_channels=converted["proj_out.weight"].shape[0] // (converted["pos_embed.proj.weight"].shape[-1] ** 2),
+        pos_embed_max_size=int(round(converted["pos_embed.pos_embed"].shape[1] ** 0.5)),
+        qk_norm="rms_norm" if any(".norm_q." in k for k in converted) else None,
+        dual_attention_layers=dual_layers,
+    )
+    cfg.update(config_overrides or {})
+    model = SD3Transformer2DModel(**cfg)
+    params = convert_torch_state_dict(model, converted, dtype=resolve_dtype(dtype, default=None))
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-type inference (reference single_file_utils.py:62
+# CHECKPOINT_KEY_NAMES + infer_diffusers_model_type, practical subset)
+# ---------------------------------------------------------------------------
+
+_CHECKPOINT_SNIFF_KEYS = [
+    # (type, any-of key predicates)
+    ("flux", lambda sd: any(k.startswith(("double_blocks.", "model.diffusion_model.double_blocks.")) for k in sd)),
+    ("sd3", lambda sd: any(k.startswith(("joint_blocks.", "model.diffusion_model.joint_blocks.")) for k in sd)),
+    ("sdxl_refiner", lambda sd: "conditioner.embedders.0.model.transformer.resblocks.9.mlp.c_proj.bias" in sd),
+    ("sdxl", lambda sd: "conditioner.embedders.1.model.transformer.resblocks.9.mlp.c_proj.bias" in sd),
+    ("sd2", lambda sd: "model.diffusion_model.input_blocks.2.1.transformer_blocks.0.attn2.to_k.weight" in sd
+        and sd["model.diffusion_model.input_blocks.2.1.transformer_blocks.0.attn2.to_k.weight"].shape[-1] == 1024),
+    ("controlnet", lambda sd: any(k.startswith("control_model.") for k in sd)),
+    ("sd1", lambda sd: any(k.startswith("model.diffusion_model.") for k in sd)),
+]
+
+
+def infer_single_file_checkpoint_type(sd: Dict[str, np.ndarray]) -> str:
+    """Sniff which model family a monolithic state dict belongs to."""
+    for name, predicate in _CHECKPOINT_SNIFF_KEYS:
+        try:
+            if predicate(sd):
+                return name
+        except Exception:
+            continue
+    raise ValueError(
+        "could not infer the checkpoint type from the state dict keys; "
+        f"sample keys: {sorted(sd)[:5]}"
+    )
