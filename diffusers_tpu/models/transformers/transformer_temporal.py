@@ -96,6 +96,14 @@ class AnimateDiffTransformer3D(Module):
         return h + residual
 
 
+class TransformerTemporalModel(AnimateDiffTransformer3D):
+    """Per-pixel temporal transformer used by the text-to-video-synthesis
+    UNet3D (reference `transformer_temporal.py:41`). Same parameter layout
+    and math as the AnimateDiff motion module (norm → proj_in → blocks →
+    proj_out + residual over ``[(B H W), F, C]`` sequences); the reference
+    classes differ only in config plumbing, so this is a thin subclass."""
+
+
 # --------------------------------------------------------------------------
 # SVD spatio-temporal transformer (reference models/attention.py:1133 and
 # models/transformers/transformer_temporal.py:205)

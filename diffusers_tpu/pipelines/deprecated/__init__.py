@@ -5,3 +5,4 @@ from .pndm import PNDMPipeline
 from .repaint import RePaintPipeline
 from .score_sde_ve import ScoreSdeVePipeline
 from .stochastic_karras_ve import KarrasVePipeline
+from .text_to_video_synthesis import TextToVideoSDPipeline, TextToVideoSDPipelineOutput
