@@ -46,6 +46,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "AutoencoderKL": "diffusers_tpu.models.autoencoders.autoencoder_kl.AutoencoderKL",
     "ConsistencyDecoderVAE": "diffusers_tpu.models.autoencoders.consistency_decoder_vae.ConsistencyDecoderVAE",
     "UNet3DConditionModel": "diffusers_tpu.models.unets.unet_3d_condition.UNet3DConditionModel",
+    "I2VGenXLUNet": "diffusers_tpu.models.unets.unet_i2vgen_xl.I2VGenXLUNet",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "DDPMScheduler": "diffusers_tpu.schedulers.scheduling_ddpm.DDPMScheduler",
