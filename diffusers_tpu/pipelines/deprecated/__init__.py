@@ -7,3 +7,4 @@ from .score_sde_ve import ScoreSdeVePipeline
 from .stochastic_karras_ve import KarrasVePipeline
 from .text_to_video_synthesis import TextToVideoSDPipeline, TextToVideoSDPipelineOutput
 from .i2vgen_xl import I2VGenXLPipeline, I2VGenXLPipelineOutput
+from .amused import AmusedPipeline, AmusedPipelineOutput

@@ -47,6 +47,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "ConsistencyDecoderVAE": "diffusers_tpu.models.autoencoders.consistency_decoder_vae.ConsistencyDecoderVAE",
     "UNet3DConditionModel": "diffusers_tpu.models.unets.unet_3d_condition.UNet3DConditionModel",
     "I2VGenXLUNet": "diffusers_tpu.models.unets.unet_i2vgen_xl.I2VGenXLUNet",
+    "UVit2DModel": "diffusers_tpu.models.unets.uvit_2d.UVit2DModel",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "DDPMScheduler": "diffusers_tpu.schedulers.scheduling_ddpm.DDPMScheduler",
