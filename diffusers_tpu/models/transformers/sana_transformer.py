@@ -242,6 +242,7 @@ class SanaTransformer2DModel(Module, ModelMixin, ConfigMixin):
         timestep: jax.Array,  # [B]
         guidance: Optional[jax.Array] = None,
         encoder_attention_mask: Optional[jax.Array] = None,
+        controlnet_block_samples: Optional[tuple] = None,
         return_dict: bool = True,
     ):
         if encoder_attention_mask is not None and encoder_attention_mask.ndim == 2:
@@ -271,6 +272,10 @@ class SanaTransformer2DModel(Module, ModelMixin, ConfigMixin):
                 params["transformer_blocks"][i], hidden, ehs, timestep_mod,
                 encoder_attention_mask=encoder_attention_mask, height=ph, width=pw,
             )
+            # residual j lands after block j+1 — block 0 gets none
+            # (reference sana_transformer.py:517)
+            if controlnet_block_samples is not None and 0 < i <= len(controlnet_block_samples):
+                hidden = hidden + controlnet_block_samples[i - 1]
 
         # modulated output norm (reference SanaModulatedNorm, `:85`)
         normed = self.norm_out({}, hidden)

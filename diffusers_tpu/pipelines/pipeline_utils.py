@@ -48,6 +48,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "UNet3DConditionModel": "diffusers_tpu.models.unets.unet_3d_condition.UNet3DConditionModel",
     "I2VGenXLUNet": "diffusers_tpu.models.unets.unet_i2vgen_xl.I2VGenXLUNet",
     "UVit2DModel": "diffusers_tpu.models.unets.uvit_2d.UVit2DModel",
+    "QwenImageControlNetModel": "diffusers_tpu.models.controlnets.controlnet_qwenimage.QwenImageControlNetModel",
+    "SanaControlNetModel": "diffusers_tpu.models.controlnets.controlnet_sana.SanaControlNetModel",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "DDPMScheduler": "diffusers_tpu.schedulers.scheduling_ddpm.DDPMScheduler",
