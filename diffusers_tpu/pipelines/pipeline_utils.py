@@ -50,6 +50,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "UVit2DModel": "diffusers_tpu.models.unets.uvit_2d.UVit2DModel",
     "QwenImageControlNetModel": "diffusers_tpu.models.controlnets.controlnet_qwenimage.QwenImageControlNetModel",
     "SanaControlNetModel": "diffusers_tpu.models.controlnets.controlnet_sana.SanaControlNetModel",
+    "SparseControlNetModel": "diffusers_tpu.models.controlnets.controlnet_sparsectrl.SparseControlNetModel",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "DDPMScheduler": "diffusers_tpu.schedulers.scheduling_ddpm.DDPMScheduler",
