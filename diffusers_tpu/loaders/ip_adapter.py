@@ -26,6 +26,7 @@ import numpy as np
 
 from ..models.ip_adapter import (
     ImageProjection,
+    IPAdapterFaceIDImageProjection,
     IPAdapterFullImageProjection,
     IPAdapterPlusImageProjection,
     MultiIPAdapterImageProjection,
@@ -92,6 +93,23 @@ def _convert_image_proj(state: Dict[str, np.ndarray]):
             k = k.replace("proj.0", "ff.net.0.proj").replace("proj.2", "ff.net.2").replace("proj.3", "norm")
             renamed[k] = v
         return module, convert_torch_state_dict(module, renamed), 257
+    if "norm.weight" in state and "proj.0.weight" in state and "proj.3.weight" not in state:
+        # IP-Adapter FaceID: FeedForward over the InsightFace id embedding
+        # (reference loaders/unet.py:498-521)
+        id_dim_in = state["proj.0.weight"].shape[1]
+        id_dim_out = state["proj.0.weight"].shape[0]
+        mult = id_dim_out // id_dim_in
+        cross_dim = state["norm.weight"].shape[0]
+        num_tokens = state["proj.2.weight"].shape[0] // cross_dim
+        module = IPAdapterFaceIDImageProjection(
+            image_embed_dim=id_dim_in, cross_attention_dim=cross_dim, mult=mult,
+            num_tokens=num_tokens,
+        )
+        renamed = {
+            k.replace("proj.0", "ff.net.0.proj").replace("proj.2", "ff.net.2"): v
+            for k, v in state.items()
+        }
+        return module, convert_torch_state_dict(module, renamed), num_tokens
     if "latents" in state:  # IP-Adapter Plus (perceiver resampler)
         num_tokens = state["latents"].shape[1]
         embed_dims = state["proj_in.weight"].shape[1]

@@ -45,6 +45,25 @@ class IPAdapterFullImageProjection(Module):
         return self.norm(params["norm"], self.ff(params["ff"], image_embeds))
 
 
+class IPAdapterFaceIDImageProjection(Module):
+    """InsightFace id-embedding → `num_tokens` context tokens (reference
+    embeddings.py:1550 IPAdapterFaceIDImageProjection)."""
+
+    def __init__(self, image_embed_dim: int = 1024, cross_attention_dim: int = 1024,
+                 mult: int = 1, num_tokens: int = 1):
+        super().__init__()
+        self.num_tokens = num_tokens
+        self.cross_attention_dim = cross_attention_dim
+        self.ff = FeedForward(image_embed_dim, cross_attention_dim * num_tokens, mult=mult,
+                              activation_fn="gelu")
+        self.norm = LayerNorm(cross_attention_dim)
+
+    def __call__(self, params: Params, image_embeds: jax.Array) -> jax.Array:
+        x = self.ff(params["ff"], image_embeds)
+        x = x.reshape(-1, self.num_tokens, self.cross_attention_dim)
+        return self.norm(params["norm"], x)
+
+
 class IPAdapterPlusImageProjectionBlock(Module):
     """One resampler block: latents cross-attend to [image tokens ; latents]."""
 

@@ -278,3 +278,42 @@ def test_sdxl_pipeline_with_ip_adapter():
     out = pipe("a cat", ip_adapter_image_embeds=embeds, **kwargs).images
     assert out.shape == base.shape and np.isfinite(out).all()
     assert np.abs(out - base).max() > 1e-5
+
+
+def test_ip_adapter_faceid_projection_parity():
+    """FaceID checkpoint conversion matches the reference's (loaders/unet.py:498)."""
+    from diffusers.loaders.unet import UNet2DConditionLoadersMixin
+
+    from diffusers_tpu.loaders.ip_adapter import _convert_image_proj
+
+    g = torch.Generator().manual_seed(2)
+    id_dim, cross_dim, mult, num_tokens = 24, 32, 2, 4
+
+    def rand(*shape, scale=0.08):
+        return torch.randn(*shape, generator=g) * scale
+
+    state = {
+        "proj.0.weight": rand(id_dim * mult, id_dim),
+        "proj.0.bias": rand(id_dim * mult),
+        "proj.2.weight": rand(cross_dim * num_tokens, id_dim * mult),
+        "proj.2.bias": rand(cross_dim * num_tokens),
+        "norm.weight": 1 + rand(cross_dim, scale=0.02),
+        "norm.bias": rand(cross_dim, scale=0.02),
+    }
+
+    class _Host(UNet2DConditionLoadersMixin):
+        device = torch.device("cpu")
+        dtype = torch.float32
+
+    ref_proj = _Host()._convert_ip_adapter_image_proj_to_diffusers(
+        {k: v.clone() for k, v in state.items()}, low_cpu_mem_usage=False
+    )
+    module, params, n_tokens = _convert_image_proj({k: v.numpy() for k, v in state.items()})
+    assert n_tokens == num_tokens
+
+    x = np.random.RandomState(4).randn(2, id_dim).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_proj(torch.from_numpy(x)).numpy()
+    out = np.asarray(module(params, jnp.asarray(x)))
+    assert out.shape == ref_out.shape == (2, num_tokens, cross_dim)
+    assert np.max(np.abs(out - ref_out)) < 5e-5, np.max(np.abs(out - ref_out))
