@@ -90,3 +90,25 @@ def test_cli_env(capsys):
         sys.argv = old
     out = capsys.readouterr().out
     assert "diffusers_tpu" in out and "jax" in out
+
+
+def test_video_processor_input_matrix():
+    """Reference `video_processor.py:28` input matrix: PIL lists, 4D/5D arrays
+    in either layout, lists of videos."""
+    from PIL import Image
+
+    vp = VideoProcessor(vae_scale_factor=8)
+    frames = [Image.new("RGB", (16, 16), (i * 20, 0, 0)) for i in range(4)]
+    assert vp.preprocess_video(frames).shape == (1, 3, 4, 16, 16)
+    assert vp.preprocess_video([frames, frames]).shape == (2, 3, 4, 16, 16)
+    v_hwc = np.random.rand(4, 16, 16, 3).astype(np.float32)
+    assert vp.preprocess_video(v_hwc).shape == (1, 3, 4, 16, 16)
+    v_chw = np.random.rand(4, 3, 16, 16).astype(np.float32)
+    assert vp.preprocess_video(v_chw).shape == (1, 3, 4, 16, 16)
+    assert vp.preprocess_video([v_chw, v_chw]).shape == (2, 3, 4, 16, 16)
+    v5 = np.random.rand(2, 3, 4, 16, 16).astype(np.float32)
+    assert vp.preprocess_video(v5).shape == (2, 3, 4, 16, 16)
+    pil = vp.postprocess_video(vp.preprocess_video(frames), output_type="pil")
+    assert len(pil) == 1 and len(pil[0]) == 4
+    lat = vp.postprocess_video(v5, output_type="latent")
+    assert lat is v5
