@@ -158,9 +158,14 @@ class BasicTransformerBlock(Module):
         attention_out_bias: bool = True,
         positional_embeddings: Optional[str] = None,
         num_positional_embeddings: Optional[int] = None,
+        norm_type: str = "layer_norm",
+        num_embeds_ada_norm: Optional[int] = None,
     ):
         super().__init__()
         self.only_cross_attention = only_cross_attention
+        self.norm_type = norm_type
+        if norm_type not in ("layer_norm", "ada_norm"):
+            raise NotImplementedError(f"BasicTransformerBlock norm_type {norm_type!r} not supported")
         if positional_embeddings is not None and positional_embeddings != "sinusoidal":
             raise NotImplementedError(f"positional_embeddings {positional_embeddings!r} not supported")
         # AnimateDiff temporal blocks add a parameter-free sinusoidal table to
@@ -169,7 +174,13 @@ class BasicTransformerBlock(Module):
         self.positional_embeddings = positional_embeddings
         self.num_positional_embeddings = num_positional_embeddings
 
-        self.norm1 = LayerNorm(dim, eps=norm_eps, use_scale=norm_elementwise_affine, use_bias=norm_elementwise_affine)
+        if norm_type == "ada_norm":
+            # timestep-lookup AdaLN (VQ-Diffusion; reference attention.py:855)
+            from .normalization import AdaLayerNorm
+
+            self.norm1 = AdaLayerNorm(dim, num_embeddings=num_embeds_ada_norm)
+        else:
+            self.norm1 = LayerNorm(dim, eps=norm_eps, use_scale=norm_elementwise_affine, use_bias=norm_elementwise_affine)
         self.attn1 = Attention(
             query_dim=dim,
             heads=num_attention_heads,
@@ -180,7 +191,12 @@ class BasicTransformerBlock(Module):
         )
 
         if cross_attention_dim is not None or double_self_attention:
-            self.norm2 = LayerNorm(dim, eps=norm_eps, use_scale=norm_elementwise_affine, use_bias=norm_elementwise_affine)
+            if norm_type == "ada_norm":
+                from .normalization import AdaLayerNorm
+
+                self.norm2 = AdaLayerNorm(dim, num_embeddings=num_embeds_ada_norm)
+            else:
+                self.norm2 = LayerNorm(dim, eps=norm_eps, use_scale=norm_elementwise_affine, use_bias=norm_elementwise_affine)
             self.attn2 = Attention(
                 query_dim=dim,
                 cross_attention_dim=cross_attention_dim if not double_self_attention else None,
@@ -203,6 +219,7 @@ class BasicTransformerBlock(Module):
         encoder_hidden_states: Optional[jax.Array] = None,
         attention_mask: Optional[jax.Array] = None,
         encoder_attention_mask: Optional[jax.Array] = None,
+        timestep: Optional[jax.Array] = None,
     ) -> jax.Array:
         # Skip Layer Guidance: trace-time identity flag (reference
         # hooks/layer_skip.py). See guiders/skip_layer_guidance.py.
@@ -216,7 +233,10 @@ class BasicTransformerBlock(Module):
             encoder_hidden_states, ip_hidden_states = encoder_hidden_states
 
         # 1. self attention
-        norm_hidden = self.norm1(params["norm1"], hidden_states)
+        if self.norm_type == "ada_norm":
+            norm_hidden = self.norm1(params["norm1"], hidden_states, timestep)
+        else:
+            norm_hidden = self.norm1(params["norm1"], hidden_states)
         if self.positional_embeddings is not None:
             norm_hidden = norm_hidden + _sinusoidal_pe(norm_hidden.shape[-2], norm_hidden.shape[-1]).astype(norm_hidden.dtype)
         attn_output = self.attn1(
@@ -229,7 +249,10 @@ class BasicTransformerBlock(Module):
 
         # 2. cross attention
         if self.attn2 is not None:
-            norm_hidden = self.norm2(params["norm2"], hidden_states)
+            if self.norm_type == "ada_norm":
+                norm_hidden = self.norm2(params["norm2"], hidden_states, timestep)
+            else:
+                norm_hidden = self.norm2(params["norm2"], hidden_states)
             if self.positional_embeddings is not None:
                 norm_hidden = norm_hidden + _sinusoidal_pe(norm_hidden.shape[-2], norm_hidden.shape[-1]).astype(norm_hidden.dtype)
             attn_output = self.attn2(

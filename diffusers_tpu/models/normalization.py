@@ -76,15 +76,23 @@ class AdaLayerNorm(Module):
     normalization.AdaLayerNorm with output_dim=2*dim, norm without affine)."""
 
     def __init__(self, embedding_dim: int, output_dim: Optional[int] = None, norm_eps: float = 1e-5,
-                 chunk_dim: int = 0, elementwise_affine: bool = False):
+                 chunk_dim: int = 0, elementwise_affine: bool = False,
+                 num_embeddings: Optional[int] = None):
         super().__init__()
+        from ..ops.module import Embedding
+
         output_dim = output_dim or embedding_dim * 2
         self.chunk_dim = chunk_dim
+        # timestep-index lookup table (reference AdaLayerNorm num_embeddings
+        # mode, used by VQ-Diffusion/DiT-style ada_norm blocks)
+        self.emb = Embedding(num_embeddings, embedding_dim) if num_embeddings is not None else None
         self.linear = Linear(embedding_dim, output_dim)
         self.norm = LayerNorm(output_dim // 2, eps=norm_eps,
                               use_scale=elementwise_affine, use_bias=elementwise_affine)
 
     def __call__(self, params: Params, x: jax.Array, temb: jax.Array) -> jax.Array:
+        if self.emb is not None:
+            temb = self.emb(params["emb"], jnp.asarray(temb, jnp.int32))
         temb = self.linear(params["linear"], jax.nn.silu(temb))
         if self.chunk_dim == 1:
             shift, scale = jnp.split(temb, 2, axis=1)

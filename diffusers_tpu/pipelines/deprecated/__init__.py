@@ -8,3 +8,4 @@ from .stochastic_karras_ve import KarrasVePipeline
 from .text_to_video_synthesis import TextToVideoSDPipeline, TextToVideoSDPipelineOutput
 from .i2vgen_xl import I2VGenXLPipeline, I2VGenXLPipelineOutput
 from .amused import AmusedPipeline, AmusedPipelineOutput
+from .vq_diffusion import LearnedClassifierFreeSamplingEmbeddings, VQDiffusionPipeline

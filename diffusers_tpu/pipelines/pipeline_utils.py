@@ -51,6 +51,8 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "QwenImageControlNetModel": "diffusers_tpu.models.controlnets.controlnet_qwenimage.QwenImageControlNetModel",
     "SanaControlNetModel": "diffusers_tpu.models.controlnets.controlnet_sana.SanaControlNetModel",
     "SparseControlNetModel": "diffusers_tpu.models.controlnets.controlnet_sparsectrl.SparseControlNetModel",
+    "Transformer2DModel": "diffusers_tpu.models.transformers.transformer_2d.Transformer2DModel",
+    "LearnedClassifierFreeSamplingEmbeddings": "diffusers_tpu.pipelines.deprecated.vq_diffusion.pipeline_vq_diffusion.LearnedClassifierFreeSamplingEmbeddings",
     "FluxTransformer2DModel": "diffusers_tpu.models.transformers.transformer_flux.FluxTransformer2DModel",
     "SD3Transformer2DModel": "diffusers_tpu.models.transformers.transformer_sd3.SD3Transformer2DModel",
     "DDPMScheduler": "diffusers_tpu.schedulers.scheduling_ddpm.DDPMScheduler",
