@@ -336,8 +336,25 @@ class CosmosTransformer3DModel(Module, ModelMixin, ConfigMixin):
         x = self.patch_embed(params["patch_embed"], hidden_states)
         x = x.reshape(B, -1, x.shape[-1])
 
-        timestep = jnp.atleast_1d(jnp.asarray(timestep))
-        temb, embedded_timestep = self.time_embed(params["time_embed"], x.dtype, timestep)
+        timestep = jnp.asarray(timestep)
+        if timestep.ndim == 5:
+            # per-frame conditioning timesteps [B, 1, T, 1, 1] (video2world;
+            # reference transformer_cosmos.py:761): embed per (B, T), then
+            # broadcast across the spatial token grid
+            ppf_, pph_, ppw_ = F // p_t, H // p_h, W // p_w
+            if p_t != 1:
+                raise ValueError("per-frame timesteps require patch_size_t == 1 (reference `:769`)")
+            flat_t = timestep.reshape(-1)
+            temb, embedded_timestep = self.time_embed(params["time_embed"], x.dtype, flat_t)
+            temb, embedded_timestep = (
+                jnp.broadcast_to(
+                    v.reshape(B, ppf_, 1, 1, -1), (B, ppf_, pph_, ppw_, v.shape[-1])
+                ).reshape(B, ppf_ * pph_ * ppw_, -1)
+                for v in (temb, embedded_timestep)
+            )
+        else:
+            timestep = jnp.atleast_1d(timestep)
+            temb, embedded_timestep = self.time_embed(params["time_embed"], x.dtype, timestep)
 
         for i, block in enumerate(self.transformer_blocks):
             x = block(params["transformer_blocks"][i], x, encoder_hidden_states,
