@@ -132,3 +132,53 @@ def test_cosmos_pipeline_smoke():
                max_sequence_length=8, output_type="np")
     assert out.frames.shape[0] == 1 and out.frames.shape[-1] == 3
     assert np.isfinite(out.frames).all()
+
+
+def test_cosmos_video2world_smoke():
+    from diffusers_tpu.models.autoencoders.autoencoder_kl_cogvideox import AutoencoderKLCogVideoX
+    from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
+    from diffusers_tpu.models.transformers.transformer_cosmos import CosmosTransformer3DModel
+    from diffusers_tpu.pipelines.cosmos.pipeline_cosmos_video2world import CosmosVideoToWorldPipeline
+    from diffusers_tpu.schedulers.scheduling_edm_euler import EDMEulerScheduler
+
+    key = jax.random.PRNGKey(0)
+    kwargs = dict(TF_KWARGS)
+    kwargs["in_channels"] = TF_KWARGS["in_channels"] + 1  # + condition mask channel
+    transformer = CosmosTransformer3DModel(**kwargs)
+    vae = AutoencoderKLCogVideoX(
+        in_channels=3, out_channels=3, down_block_types=("CogVideoXDownBlock3D",) * 2,
+        up_block_types=("CogVideoXUpBlock3D",) * 2, block_out_channels=(32, 32),
+        layers_per_block=1, latent_channels=4, norm_num_groups=32,
+        temporal_compression_ratio=1, scaling_factor=0.7,
+    )
+    te = T5EncoderModel(vocab_size=60, d_model=16, d_kv=8, d_ff=32, num_layers=2, num_heads=2)
+
+    class Tok:
+        model_max_length = 8
+
+        def __call__(self, prompts, padding=None, max_length=8, truncation=True,
+                     return_tensors="np", add_special_tokens=True):
+            class Out:
+                pass
+
+            o = Out()
+            ids, masks = [], []
+            for p in prompts:
+                h = [((hash(p) + i * 7) % 50) + 2 for i in range(4)]
+                ids.append(h + [1] + [0] * (max_length - 5))
+                masks.append([1] * 5 + [0] * (max_length - 5))
+            o.input_ids = np.array(ids)
+            o.attention_mask = np.array(masks)
+            return o
+
+    pipe = CosmosVideoToWorldPipeline(
+        text_encoder=(te, te.init_params(key)), tokenizer=Tok(),
+        transformer=(transformer, transformer.init_params(key)),
+        vae=(vae, vae.init_params(key)), scheduler=EDMEulerScheduler(),
+    )
+    image = np.random.RandomState(0).rand(1, 3, 16, 16).astype(np.float32) * 2 - 1
+    out = pipe("a robot picks up a box", image=image, height=16, width=16, num_frames=2,
+               num_inference_steps=2, guidance_scale=7.0, fps=24, key=key,
+               max_sequence_length=8, output_type="np")
+    assert out.frames.shape[0] == 1 and out.frames.shape[-1] == 3
+    assert np.isfinite(out.frames).all()
