@@ -47,6 +47,12 @@ class StableDiffusionControlNetPipeline(StableDiffusionPipeline):
             image_encoder=image_encoder,
             requires_safety_checker=requires_safety_checker,
         )
+        # A list of (model, params) pairs wraps into MultiControlNetModel,
+        # mirroring reference `pipeline_controlnet.py` __init__ auto-wrap.
+        if isinstance(controlnet, (list, tuple)) and controlnet and isinstance(controlnet[0], tuple):
+            from ...models.controlnets.multicontrolnet import MultiControlNetModel
+
+            controlnet = (MultiControlNetModel([m for m, _ in controlnet]), [p for _, p in controlnet])
         self.register_modules(controlnet=controlnet)
 
     def _denoise_controlnet(
@@ -109,17 +115,30 @@ class StableDiffusionControlNetPipeline(StableDiffusionPipeline):
         if key is None:
             key = jax.random.PRNGKey(0)
 
-        cond = jnp.asarray(self.image_processor.preprocess(image)) if not isinstance(image, jnp.ndarray) else image
-        # controlnet conditioning stays in [0, 1]
-        cond = jnp.clip((cond + 1) / 2, 0, 1) if float(cond.min()) < 0 else cond
-        height = height or cond.shape[-2]
-        width = width or cond.shape[-1]
+        from ...models.controlnets.multicontrolnet import MultiControlNetModel
+
+        is_multi = isinstance(controlnet, MultiControlNetModel)
+        images = list(image) if is_multi else [image]
+
+        def _prep(im):
+            im = jnp.asarray(self.image_processor.preprocess(im)) if not isinstance(im, jnp.ndarray) else im
+            # controlnet conditioning stays in [0, 1]
+            return jnp.clip((im + 1) / 2, 0, 1) if float(im.min()) < 0 else im
+
+        conds = [_prep(im) for im in images]
+        height = height or conds[0].shape[-2]
+        width = width or conds[0].shape[-1]
 
         do_cfg = guidance_scale > 1.0
         prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
         batch_size = prompt_embeds.shape[0] // (2 if do_cfg else 1)
         if do_cfg:
-            cond = jnp.tile(cond, (2 * batch_size // cond.shape[0], 1, 1, 1))
+            conds = [jnp.tile(c, (2 * batch_size // c.shape[0], 1, 1, 1)) for c in conds]
+        cond = conds if is_multi else conds[0]
+        if is_multi and not isinstance(controlnet_conditioning_scale, (list, tuple)):
+            controlnet_conditioning_scale = (controlnet_conditioning_scale,) * len(controlnet)
+        if isinstance(controlnet_conditioning_scale, list):
+            controlnet_conditioning_scale = tuple(controlnet_conditioning_scale)
 
         shape = (batch_size, unet.config.in_channels, height // self.vae_scale_factor, width // self.vae_scale_factor)
         if latents is None:

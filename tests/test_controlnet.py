@@ -118,3 +118,93 @@ def test_sdxl_controlnet_pipeline_smoke():
                key=jax.random.PRNGKey(0), output_type="np")
     assert out.images.shape == (1, 16, 16, 3)
     assert np.isfinite(out.images).all()
+
+
+def _tiny_cn(seed=1):
+    import jax
+
+    cn = ControlNetModel(
+        in_channels=4,
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        attention_head_dim=2,
+        cross_attention_dim=16,
+        norm_num_groups=4,
+        conditioning_embedding_out_channels=(8, 16),
+    )
+    return cn, cn.init_params(jax.random.PRNGKey(seed))
+
+
+def test_multicontrolnet_is_sum_of_nets():
+    """MultiControlNetModel residuals == sum of per-net residuals at their scales
+    (reference `models/controlnets/multicontrolnet.py:27-70`)."""
+    from diffusers_tpu.models.controlnets.multicontrolnet import MultiControlNetModel
+
+    (cn_a, p_a), (cn_b, p_b) = _tiny_cn(1), _tiny_cn(2)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+    ehs = jnp.asarray(rng.randn(1, 8, 16).astype(np.float32))
+    img_a = jnp.asarray(rng.rand(1, 3, 16, 16).astype(np.float32))
+    img_b = jnp.asarray(rng.rand(1, 3, 16, 16).astype(np.float32))
+
+    multi = MultiControlNetModel([cn_a, cn_b])
+    out = multi(
+        [p_a, p_b], x, 5, ehs, [img_a, img_b], conditioning_scale=[0.5, 1.5]
+    )
+    ref_a = cn_a(p_a, x, 5, ehs, img_a, conditioning_scale=0.5)
+    ref_b = cn_b(p_b, x, 5, ehs, img_b, conditioning_scale=1.5)
+    for mine, a, b in zip(out.down_block_res_samples, ref_a.down_block_res_samples, ref_b.down_block_res_samples):
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(a + b), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.mid_block_res_sample),
+        np.asarray(ref_a.mid_block_res_sample + ref_b.mid_block_res_sample),
+        atol=1e-6,
+    )
+
+    with pytest.raises(ValueError):
+        multi([p_a, p_b], x, 5, ehs, [img_a], conditioning_scale=1.0)
+
+
+def test_multicontrolnet_save_load_roundtrip(tmp_path):
+    """Directory layout parity: `dir`, `dir_1`, ... (reference multicontrolnet.py:108-214)."""
+    from diffusers_tpu.models.controlnets.multicontrolnet import MultiControlNetModel
+
+    (cn_a, p_a), (cn_b, p_b) = _tiny_cn(1), _tiny_cn(2)
+    multi = MultiControlNetModel([cn_a, cn_b])
+    multi.save_pretrained(tmp_path / "mcn", params=[p_a, p_b])
+    import os
+
+    assert os.path.isdir(tmp_path / "mcn") and os.path.isdir(str(tmp_path / "mcn") + "_1")
+    loaded, loaded_params = MultiControlNetModel.from_pretrained(tmp_path / "mcn")
+    assert len(loaded) == 2
+    import jax
+
+    a_leaves = jax.tree_util.tree_leaves(p_a)
+    l_leaves = jax.tree_util.tree_leaves(loaded_params[0])
+    assert len(a_leaves) == len(l_leaves)
+    for got, want in zip(l_leaves, a_leaves):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sd_multicontrolnet_pipeline_smoke():
+    """Two ControlNets through StableDiffusionControlNetPipeline (list auto-wrap,
+    reference `pipeline_controlnet.py` MultiControlNetModel path)."""
+    import jax
+
+    from diffusers_tpu.pipelines.controlnet.pipeline_controlnet import StableDiffusionControlNetPipeline
+    from test_pipeline_stable_diffusion import get_dummy_pipeline
+
+    base = get_dummy_pipeline()
+    (cn_a, p_a), (cn_b, p_b) = _tiny_cn(1), _tiny_cn(2)
+    comps = {k: v for k, v in base.components.items() if k not in ("image_encoder", "feature_extractor", "safety_checker")}
+    pipe = StableDiffusionControlNetPipeline(controlnet=[(cn_a, p_a), (cn_b, p_b)], **comps)
+    rng = np.random.RandomState(0)
+    conds = [rng.rand(1, 3, 16, 16).astype(np.float32) for _ in range(2)]
+    out = pipe(
+        "a bird", image=conds, height=8, width=8, num_inference_steps=2,
+        guidance_scale=6.0, controlnet_conditioning_scale=[1.0, 0.5],
+        key=jax.random.PRNGKey(0), output_type="np",
+    )
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
