@@ -208,3 +208,58 @@ def test_sd_multicontrolnet_pipeline_smoke():
     )
     assert out.images.shape == (1, 8, 8, 3)
     assert np.isfinite(out.images).all()
+
+
+def test_multicontrolnet_union_sum_and_skip():
+    """MultiControlNetUnionModel sums per-net residuals and skips scale==0 nets
+    (reference `models/controlnets/multicontrolnet_union.py:18`)."""
+    import jax
+
+    from diffusers_tpu.models.controlnets.controlnet_union import ControlNetUnionModel
+    from diffusers_tpu.models.controlnets.multicontrolnet_union import MultiControlNetUnionModel
+    from test_pipeline_variants_r4 import UNION_TINY
+
+    cn_a = ControlNetUnionModel(**UNION_TINY)
+    cn_b = ControlNetUnionModel(**UNION_TINY)
+    p_a = cn_a.init_params(jax.random.PRNGKey(1))
+    p_b = cn_b.init_params(jax.random.PRNGKey(2))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 4, 16, 16).astype(np.float32))
+    ehs = jnp.asarray(rng.randn(2, 7, 32).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32))
+    added = {
+        "text_embeds": jnp.asarray(rng.randn(2, 16).astype(np.float32)),
+        "time_ids": jnp.asarray(rng.randn(2, 6).astype(np.float32)),
+    }
+    ct = np.zeros((2, 6), np.float32)
+    ct[:, 1] = 1.0
+    ct = jnp.asarray(ct)
+
+    multi = MultiControlNetUnionModel([cn_a, cn_b])
+    out = multi(
+        [p_a, p_b], x, 7, ehs, [[img], [img]], control_type=[ct, ct],
+        control_type_idx=[[1], [1]], conditioning_scale=[1.0, 0.0],
+        added_cond_kwargs=added,
+    )
+    # scale-0 second net skipped -> equals single net at scale 1
+    ref = cn_a(p_a, x, 7, ehs, [img], control_type=ct, control_type_idx=[1],
+               conditioning_scale=1.0, added_cond_kwargs=added)
+    np.testing.assert_allclose(
+        np.asarray(out.mid_block_res_sample), np.asarray(ref.mid_block_res_sample), atol=1e-6
+    )
+
+    out2 = multi(
+        [p_a, p_b], x, 7, ehs, [[img], [img]], control_type=[ct, ct],
+        control_type_idx=[[1], [1]], conditioning_scale=[0.5, 0.5],
+        added_cond_kwargs=added,
+    )
+    ref_b = cn_b(p_b, x, 7, ehs, [img], control_type=ct, control_type_idx=[1],
+                 conditioning_scale=0.5, added_cond_kwargs=added)
+    ref_a = cn_a(p_a, x, 7, ehs, [img], control_type=ct, control_type_idx=[1],
+                 conditioning_scale=0.5, added_cond_kwargs=added)
+    np.testing.assert_allclose(
+        np.asarray(out2.mid_block_res_sample),
+        np.asarray(ref_a.mid_block_res_sample + ref_b.mid_block_res_sample),
+        atol=1e-6,
+    )
