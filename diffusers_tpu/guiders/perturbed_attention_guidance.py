@@ -87,11 +87,17 @@ def iter_self_attention_names(model):
                     if getattr(tb, "attn1", None) is not None:
                         yield f"{prefix}.attentions.{j}.transformer_blocks.{k}.attn1", tb.attn1
         return
-    if hasattr(model, "transformer_blocks"):  # DiT family (SD3, ...)
+    if hasattr(model, "transformer_blocks"):  # DiT family (SD3, Sana, ...)
         for k, tb in enumerate(model.transformer_blocks):
             attn = getattr(tb, "attn", None) or getattr(tb, "attn1", None)
             if attn is not None and hasattr(type(attn), "pag_identity"):
                 yield f"transformer_blocks.{k}.attn", attn
+        return
+    if hasattr(model, "blocks"):  # HunyuanDiT-style `blocks.{k}.attn1`
+        for k, tb in enumerate(model.blocks):
+            attn = getattr(tb, "attn1", None)
+            if attn is not None and hasattr(type(attn), "pag_identity"):
+                yield f"blocks.{k}.attn1", attn
         return
     raise ValueError(f"{type(model).__name__} has no PAG-perturbable attention layers")
 

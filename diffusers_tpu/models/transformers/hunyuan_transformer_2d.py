@@ -67,6 +67,10 @@ class AdaLayerNormShift(Module):
 class _HunyuanAttention(Module):
     """qk per-head LayerNorm; RoPE on q always, on k only when self-attn."""
 
+    # PAG: trace-time identity-attention flag (reference
+    # PAGIdentitySelfAttnProcessor — output = to_out(to_v(x))).
+    pag_identity: bool = False
+
     def __init__(self, query_dim: int, heads: int, dim_head: int,
                  cross_attention_dim: Optional[int] = None):
         super().__init__()
@@ -84,6 +88,9 @@ class _HunyuanAttention(Module):
 
     def __call__(self, params: Params, hidden_states, encoder_hidden_states=None, image_rotary_emb=None):
         b, s, _ = hidden_states.shape
+        if self.pag_identity and encoder_hidden_states is None:
+            out = self.to_v(params["to_v"], hidden_states)
+            return self.to_out[0](params["to_out"][0], out)
         ctx = encoder_hidden_states if encoder_hidden_states is not None else hidden_states
         q = self.to_q(params["to_q"], hidden_states).reshape(b, s, self.heads, self.dim_head)
         k = self.to_k(params["to_k"], ctx).reshape(b, -1, self.heads, self.dim_head)

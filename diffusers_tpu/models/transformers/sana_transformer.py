@@ -36,6 +36,10 @@ class SanaTransformer2DModelOutput(BaseOutput):
 class SanaLinearAttention(Module):
     """ReLU linear self-attention (reference SanaLinearAttnProcessor2_0)."""
 
+    # PAG: trace-time identity-attention flag (reference
+    # PAGIdentitySanaLinearAttnProcessor — output = to_out(to_v(x))).
+    pag_identity: bool = False
+
     def __init__(self, dim: int, heads: int, dim_head: int, qk_norm: Optional[str] = None, bias: bool = False):
         super().__init__()
         self.heads = heads
@@ -53,6 +57,9 @@ class SanaLinearAttention(Module):
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         b, n, _ = x.shape
+        if self.pag_identity:
+            out = self.to_v(params["to_v"], x)
+            return self.to_out[0](params["to_out"][0], out)
         orig_dtype = x.dtype
         q = self.to_q(params["to_q"], x)
         k = self.to_k(params["to_k"], x)
