@@ -46,7 +46,7 @@ def test_inpaint_blend():
     assert np.isfinite(out.images).all()
 
 
-def test_sd3_pipeline():
+def get_dummy_sd3_pipeline(cls=StableDiffusion3Pipeline):
     key = jax.random.PRNGKey(0)
     transformer = SD3Transformer2DModel(
         sample_size=8, patch_size=2, in_channels=4, num_layers=1, attention_head_dim=8,
@@ -64,7 +64,7 @@ def test_sd3_pipeline():
                                       num_attention_heads=2, projection_dim=16)
     t5 = T5EncoderModel(vocab_size=1000, d_model=32, d_kv=8, d_ff=32, num_layers=1, num_heads=2,
                         feed_forward_proj="gated-gelu")
-    pipe = StableDiffusion3Pipeline(
+    return cls(
         transformer=(transformer, transformer.init_params(key)),
         scheduler=FlowMatchEulerDiscreteScheduler(shift=3.0),
         vae=(vae, vae.init_params(key)),
@@ -75,7 +75,52 @@ def test_sd3_pipeline():
         text_encoder_3=(t5, t5.init_params(key)),
         tokenizer_3=DummyTokenizer(),
     )
+
+
+def test_sd3_pipeline():
+    key = jax.random.PRNGKey(0)
+    pipe = get_dummy_sd3_pipeline()
     out = pipe("a painting", height=8, width=8, num_inference_steps=2, guidance_scale=5.0,
                max_sequence_length=16, key=key, output_type="np")
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_sd3_img2img():
+    from diffusers_tpu.pipelines.stable_diffusion_3.pipeline_stable_diffusion_3_img2img import (
+        StableDiffusion3Img2ImgPipeline,
+    )
+
+    pipe = get_dummy_sd3_pipeline(StableDiffusion3Img2ImgPipeline)
+    image = np.random.RandomState(0).rand(1, 3, 8, 8).astype(np.float32) * 2 - 1
+    out = pipe("a cat", image=image, strength=0.8, num_inference_steps=4, guidance_scale=6.0,
+               max_sequence_length=16, key=jax.random.PRNGKey(0), output_type="np")
+    assert out.images.shape == (1, 8, 8, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_sd3_img2img_strength_truncates():
+    from diffusers_tpu.pipelines.stable_diffusion_3.pipeline_stable_diffusion_3_img2img import (
+        StableDiffusion3Img2ImgPipeline,
+    )
+
+    pipe = get_dummy_sd3_pipeline(StableDiffusion3Img2ImgPipeline)
+    state = pipe.scheduler.set_timesteps(10)
+    ts = pipe.get_timesteps(state, 10, 0.3)
+    assert ts.shape[0] == 3
+
+
+def test_sd3_inpaint_blend():
+    from diffusers_tpu.pipelines.stable_diffusion_3.pipeline_stable_diffusion_3_inpaint import (
+        StableDiffusion3InpaintPipeline,
+    )
+
+    pipe = get_dummy_sd3_pipeline(StableDiffusion3InpaintPipeline)
+    image = np.random.RandomState(0).rand(1, 3, 8, 8).astype(np.float32) * 2 - 1
+    mask = np.zeros((8, 8), np.float32)
+    mask[2:6, 2:6] = 1.0
+    out = pipe("a cat", image=image, mask_image=mask, strength=1.0, num_inference_steps=3,
+               guidance_scale=6.0, max_sequence_length=16,
+               key=jax.random.PRNGKey(0), output_type="np")
     assert out.images.shape == (1, 8, 8, 3)
     assert np.isfinite(out.images).all()
