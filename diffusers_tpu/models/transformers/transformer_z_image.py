@@ -299,6 +299,7 @@ class ZImageTransformer2DModel(Module, ModelMixin, ConfigMixin):
         cap_freqs: Optional[Tuple[jax.Array, jax.Array]] = None,
         patch_size: int = 2,
         f_patch_size: int = 1,
+        controlnet_block_samples: Optional[dict] = None,  # {layer_idx: [B, S_unified, dim]}
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         b, c, f, h, w = x.shape
@@ -346,6 +347,9 @@ class ZImageTransformer2DModel(Module, ModelMixin, ConfigMixin):
 
         for i, layer in enumerate(self.layers):
             unified = layer(params["layers"][i], unified, u_mask, (u_cos, u_sin), adaln_input)
+            # ControlNet residual injection (reference transformer_z_image.py:1056)
+            if controlnet_block_samples is not None and i in controlnet_block_samples:
+                unified = unified + controlnet_block_samples[i]
 
         out = self.all_final_layer[key](params["all_final_layer"][key], unified[:, :n_img], adaln_input)
 

@@ -149,6 +149,7 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "LTX2TextConnectors": "diffusers_tpu.pipelines.ltx2.connectors.LTX2TextConnectors",
     "Kandinsky5Transformer3DModel": "diffusers_tpu.models.transformers.transformer_kandinsky.Kandinsky5Transformer3DModel",
     "ZImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_z_image.ZImageTransformer2DModel",
+    "ZImageControlNetModel": "diffusers_tpu.models.controlnets.controlnet_z_image.ZImageControlNetModel",
     "HunyuanImageTransformer2DModel": "diffusers_tpu.models.transformers.transformer_hunyuanimage.HunyuanImageTransformer2DModel",
     "AutoencoderKLHunyuanImage": "diffusers_tpu.models.autoencoders.autoencoder_kl_hunyuanimage.AutoencoderKLHunyuanImage",
     "AdaptiveProjectedMixGuidance": "diffusers_tpu.guiders.adaptive_projected_guidance_mix.AdaptiveProjectedMixGuidance",

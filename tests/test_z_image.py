@@ -91,6 +91,93 @@ def test_z_image_transformer_parity():
     assert np.max(np.abs(out - ref)) < 1e-3, np.max(np.abs(out - ref))
 
 
+TINY_CN = dict(
+    control_layers_places=[0, 1],
+    control_refiner_layers_places=[0],
+    control_in_dim=4,
+    all_patch_size=(2,),
+    all_f_patch_size=(1,),
+    dim=32,
+    n_refiner_layers=1,
+    n_heads=2,
+    n_kv_heads=2,
+)
+
+
+@pytest.mark.refparity
+@pytest.mark.parametrize("refiner_mode", [None, "control_noise_refiner", "control_layers"])
+def test_z_image_controlnet_parity(refiner_mode):
+    torch = pytest.importorskip("torch")
+    from diffusers import ZImageTransformer2DModel as TorchModel
+    from diffusers.models.controlnets.controlnet_z_image import (
+        ZImageControlNetModel as TorchCN,
+    )
+
+    from diffusers_tpu.models.controlnets.controlnet_z_image import ZImageControlNetModel
+
+    torch.manual_seed(0)
+    tm = TorchModel(**TINY).eval()
+    tcn = TorchCN(**TINY_CN, add_control_noise_refiner=refiner_mode).eval()
+    with torch.no_grad():
+        tm.x_pad_token.data.normal_(0.0, 0.5)
+        tm.cap_pad_token.data.normal_(0.0, 0.5)
+        # zero-init taps would hide wiring bugs; randomize them
+        for mod in tcn.modules():
+            for name in ("before_proj", "after_proj"):
+                lin = getattr(mod, name, None)
+                if lin is not None:
+                    lin.weight.data.normal_(0.0, 0.2)
+                    lin.bias.data.normal_(0.0, 0.2)
+    cn_sd = {k: v.detach().numpy() for k, v in tcn.state_dict().items()}
+    tcn = TorchCN.from_transformer(tcn, tm)
+
+    m = ZImageTransformer2DModel(**TINY)
+    params = convert_torch_state_dict(m, {k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    cn = ZImageControlNetModel(**TINY_CN, add_control_noise_refiner=refiner_mode)
+    cn_params = convert_torch_state_dict(cn, cn_sd)
+    ZImageControlNetModel.from_transformer(cn, m)
+
+    rng = np.random.RandomState(0)
+    x_items = [rng.randn(4, 1, 8, 8).astype(np.float32) for _ in range(2)]
+    ctrl_items = [rng.randn(4, 1, 8, 8).astype(np.float32) for _ in range(2)]
+    cap_lens = [5, 40]
+    cap_items = [rng.randn(n, 12).astype(np.float32) for n in cap_lens]
+    t = np.array([0.3, 0.7], dtype=np.float32)
+
+    with torch.no_grad():
+        ref_samples = tcn(
+            [torch.from_numpy(xi) for xi in x_items],
+            torch.from_numpy(t),
+            [torch.from_numpy(ci) for ci in cap_items],
+            [torch.from_numpy(ci) for ci in ctrl_items],
+            conditioning_scale=0.7,
+        )
+        ref_list = tm(
+            [torch.from_numpy(xi) for xi in x_items],
+            torch.from_numpy(t),
+            [torch.from_numpy(ci) for ci in cap_items],
+            controlnet_block_samples=ref_samples,
+        ).sample
+    ref = np.stack([r.numpy() for r in ref_list])
+
+    cap_seq = _pad32(max(cap_lens))
+    cap, cap_attn, cap_inner = _pack(cap_items, cap_seq)
+    samples = cn(
+        cn_params, params, jnp.asarray(np.stack(x_items)), jnp.asarray(t),
+        jnp.asarray(cap), jnp.asarray(np.stack(ctrl_items)),
+        cap_attn_mask=jnp.asarray(cap_attn), cap_inner_pad_mask=jnp.asarray(cap_inner),
+        conditioning_scale=0.7,
+    ).controlnet_block_samples
+    assert sorted(samples) == list(TINY_CN["control_layers_places"])
+    out = np.asarray(
+        m(params, jnp.asarray(np.stack(x_items)), jnp.asarray(t), jnp.asarray(cap),
+          cap_attn_mask=jnp.asarray(cap_attn), cap_inner_pad_mask=jnp.asarray(cap_inner),
+          controlnet_block_samples=samples).sample
+    )
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 2e-3, np.max(np.abs(out - ref))
+
+
 def _tiny_qwen3(torch):
     from transformers import Qwen3Config, Qwen3ForCausalLM
 
@@ -161,3 +248,67 @@ def test_z_image_from_pretrained_generate(tmp_path):
                max_sequence_length=24, output_type="np")
     img = np.asarray(out.images)
     assert img.shape[0] == 1 and np.isfinite(img).all()
+
+
+@pytest.mark.refparity
+def test_z_image_controlnet_pipeline_generate(tmp_path):
+    torch = pytest.importorskip("torch")
+    from diffusers import (
+        AutoencoderKL as TorchVAE,
+        FlowMatchEulerDiscreteScheduler as TorchSched,
+        ZImageTransformer2DModel as TorchTf,
+    )
+    from diffusers.models.controlnets.controlnet_z_image import (
+        ZImageControlNetModel as TorchCN,
+    )
+
+    from diffusers_tpu.pipelines.z_image import ZImageControlNetPipeline
+
+    torch.manual_seed(0)
+    TorchTf(**TINY).save_pretrained(tmp_path / "transformer")
+    # control_in_dim=6 > latent_channels=4 exercises the v2.0 zero-pad path
+    tcn = TorchCN(**{**TINY_CN, "control_in_dim": 6})
+    with torch.no_grad():
+        # fresh controlnets have zero-init taps (no-op by design); randomize so
+        # conditioning_scale visibly changes the output
+        for mod in tcn.modules():
+            for name in ("before_proj", "after_proj"):
+                lin = getattr(mod, name, None)
+                if lin is not None:
+                    lin.weight.data.normal_(0.0, 0.2)
+                    lin.bias.data.normal_(0.0, 0.2)
+    tcn.save_pretrained(tmp_path / "controlnet")
+    TorchVAE(
+        in_channels=3, out_channels=3, block_out_channels=(8, 8, 8, 8),
+        down_block_types=("DownEncoderBlock2D",) * 4, up_block_types=("UpDecoderBlock2D",) * 4,
+        latent_channels=4, layers_per_block=1, norm_num_groups=4, sample_size=32,
+        scaling_factor=0.4, shift_factor=0.1,
+    ).save_pretrained(tmp_path / "vae")
+    _tiny_qwen3(torch).save_pretrained(tmp_path / "text_encoder")
+    TorchSched(use_dynamic_shifting=True, base_shift=0.5, max_shift=1.15).save_pretrained(
+        tmp_path / "scheduler")
+
+    index = {
+        "_class_name": "ZImageControlNetPipeline", "_diffusers_version": "0.40.0.dev0",
+        "transformer": ["diffusers", "ZImageTransformer2DModel"],
+        "controlnet": ["diffusers", "ZImageControlNetModel"],
+        "vae": ["diffusers", "AutoencoderKL"],
+        "text_encoder": ["transformers", "Qwen3ForCausalLM"],
+        "tokenizer": [None, None],
+        "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+    }
+    with open(os.path.join(tmp_path, "model_index.json"), "w") as f:
+        json.dump(index, f)
+
+    pipe = ZImageControlNetPipeline.from_pretrained(str(tmp_path), tokenizer=DummyQwen3Tokenizer())
+    ctrl = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    outs = []
+    for scale in (0.0, 0.75):
+        out = pipe("a pagoda at dusk", control_image=jnp.asarray(ctrl),
+                   height=32, width=32, num_inference_steps=2, guidance_scale=3.0,
+                   controlnet_conditioning_scale=scale, key=jax.random.PRNGKey(0),
+                   max_sequence_length=24, output_type="np")
+        img = np.asarray(out.images)
+        assert img.shape[0] == 1 and np.isfinite(img).all()
+        outs.append(img)
+    assert float(np.max(np.abs(outs[0] - outs[1]))) > 1e-6
