@@ -107,6 +107,59 @@ class ZImagePipeline(DiffusionPipeline):
             inner[i, n: _pad32(n)] = True
         return out, attn, inner
 
+    def _prep_text(self, prompt, negative_prompt, do_cfg, max_sequence_length):
+        """encode_prompt + dense caption packing shared by all Z-Image variants.
+        Returns (cap, cap_attn, cap_inner, all_lens, batch_size)."""
+        embeds, lens, neg_embeds, neg_lens = self.encode_prompt(
+            prompt, negative_prompt, do_cfg, max_sequence_length)
+        batch_size = embeds.shape[0]
+        all_lens = list(lens) + (list(neg_lens) if do_cfg else [])
+        cap_seq = _pad32(int(max(all_lens)))
+        if do_cfg:
+            packed = np.concatenate([embeds[:, :cap_seq], neg_embeds[:, :cap_seq]], axis=0)
+            cap, cap_attn, cap_inner = self._pack_captions(packed, np.asarray(all_lens), cap_seq)
+        else:
+            cap, cap_attn, cap_inner = self._pack_captions(embeds[:, :cap_seq], lens, cap_seq)
+        return cap, cap_attn, cap_inner, all_lens, batch_size
+
+    def _schedule(self, num_inference_steps, sigmas, image_seq_len):
+        """Dynamic-shift flow-match schedule (linspace default sigmas)."""
+        mu = calculate_shift(
+            image_seq_len,
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1 / num_inference_steps, num_inference_steps)
+        try:
+            return self.scheduler.set_timesteps(num_inference_steps, sigmas=np.asarray(sigmas), mu=mu)
+        except (TypeError, ValueError):
+            return self.scheduler.set_timesteps(num_inference_steps)
+
+    def _guidance_steps(self, timesteps, guidance_scale, cfg_truncation):
+        t_norms = (1000.0 - np.asarray(timesteps)) / 1000.0
+        return jnp.asarray(np.where(t_norms > float(cfg_truncation), 0.0, guidance_scale),
+                           dtype=jnp.float32)
+
+    def _encode_image_latents(self, image, height, width, batch_size):
+        """VAE-argmax encode + latent normalize, batch-expanded."""
+        vae, vae_params = self.vae
+        img = self.image_processor.preprocess(image, height=height, width=width)
+        img = jnp.asarray(img, dtype=jnp.float32)
+        if img.shape[0] < batch_size:
+            img = jnp.repeat(img, batch_size // img.shape[0], axis=0)
+        lat = vae.encode(vae_params, img).mode()
+        lat = (lat - vae.config.get("shift_factor", 0.0)) * vae.config.scaling_factor
+        return lat
+
+    def _decode(self, latents, output_type):
+        vae, vae_params = self.vae
+        lat = latents / vae.config.scaling_factor + vae.config.get("shift_factor", 0.0)
+        image = vae.decode(vae_params, lat).sample
+        return self.image_processor.postprocess(image, output_type=output_type)
+
     def _denoise(self, t_params, latents, cap, cap_attn, cap_inner, x_freqs, cap_freqs,
                  g_steps, timesteps, state, do_cfg, cfg_normalization):
         transformer = self.transformer[0]
@@ -171,17 +224,8 @@ class ZImagePipeline(DiffusionPipeline):
             key = jax.random.PRNGKey(0)
 
         do_cfg = guidance_scale > 1.0
-        embeds, lens, neg_embeds, neg_lens = self.encode_prompt(
+        cap, cap_attn, cap_inner, all_lens, batch_size = self._prep_text(
             prompt, negative_prompt, do_cfg, max_sequence_length)
-        batch_size = embeds.shape[0]
-
-        all_lens = list(lens) + (list(neg_lens) if do_cfg else [])
-        cap_seq = _pad32(int(max(all_lens)))
-        if do_cfg:
-            packed = np.concatenate([embeds[:, :cap_seq], neg_embeds[:, :cap_seq]], axis=0)
-            cap, cap_attn, cap_inner = self._pack_captions(packed, np.asarray(all_lens), cap_seq)
-        else:
-            cap, cap_attn, cap_inner = self._pack_captions(embeds[:, :cap_seq], lens, cap_seq)
 
         num_channels_latents = transformer.config.in_channels
         lh = 2 * (height // vae_scale)
@@ -190,28 +234,13 @@ class ZImagePipeline(DiffusionPipeline):
             key, lat_key = jax.random.split(key)
             latents = randn_tensor((batch_size, num_channels_latents, lh, lw), key=lat_key)
 
-        image_seq_len = (lh // 2) * (lw // 2)
-        mu = calculate_shift(
-            image_seq_len,
-            self.scheduler.config.get("base_image_seq_len", 256),
-            self.scheduler.config.get("max_image_seq_len", 4096),
-            self.scheduler.config.get("base_shift", 0.5),
-            self.scheduler.config.get("max_shift", 1.15),
-        )
-        if sigmas is None:
-            sigmas = np.linspace(1.0, 1 / num_inference_steps, num_inference_steps)
-        try:
-            state = self.scheduler.set_timesteps(num_inference_steps, sigmas=np.asarray(sigmas), mu=mu)
-        except (TypeError, ValueError):
-            state = self.scheduler.set_timesteps(num_inference_steps)
+        state = self._schedule(num_inference_steps, sigmas, (lh // 2) * (lw // 2))
 
         # per-step guidance with truncation (reference `:509-527`)
-        t_norms = (1000.0 - np.asarray(state.timesteps)) / 1000.0
-        g_steps = jnp.asarray(np.where(t_norms > float(cfg_truncation), 0.0, guidance_scale),
-                              dtype=jnp.float32)
+        g_steps = self._guidance_steps(state.timesteps, guidance_scale, cfg_truncation)
 
         x_freqs, cap_freqs = transformer.compute_freqs(
-            tuple(int(n) for n in all_lens), (1, lh // 2, lw // 2), cap_seq)
+            tuple(int(n) for n in all_lens), (1, lh // 2, lw // 2), cap.shape[1])
 
         denoise = self._jit(
             "denoise",
@@ -222,14 +251,7 @@ class ZImagePipeline(DiffusionPipeline):
                           jnp.asarray(cap_inner), x_freqs, cap_freqs, g_steps,
                           state.timesteps, state)
 
-        if output_type == "latent":
-            image = latents
-        else:
-            vae, vae_params = self.vae
-            lat = latents / vae.config.scaling_factor + vae.config.get("shift_factor", 0.0)
-            image = vae.decode(vae_params, lat).sample
-            image = self.image_processor.postprocess(image, output_type=output_type)
-
+        image = latents if output_type == "latent" else self._decode(latents, output_type)
         if not return_dict:
             return (image,)
         return ZImagePipelineOutput(images=image)

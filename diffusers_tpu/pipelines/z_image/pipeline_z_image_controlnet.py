@@ -21,12 +21,10 @@ from typing import List, Optional, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ...schedulers.scheduling_flow_match_euler_discrete import calculate_shift
 from ...utils.jax_utils import randn_tensor
 from ..pipeline_utils import DiffusionPipeline
-from .pipeline_z_image import ZImagePipeline, ZImagePipelineOutput, _pad32
+from .pipeline_z_image import ZImagePipeline, ZImagePipelineOutput
 
 
 class ZImageControlNetPipeline(ZImagePipeline):
@@ -137,17 +135,8 @@ class ZImageControlNetPipeline(ZImagePipeline):
             key = jax.random.PRNGKey(0)
 
         do_cfg = guidance_scale > 1.0
-        embeds, lens, neg_embeds, neg_lens = self.encode_prompt(
+        cap, cap_attn, cap_inner, all_lens, batch_size = self._prep_text(
             prompt, negative_prompt, do_cfg, max_sequence_length)
-        batch_size = embeds.shape[0]
-
-        all_lens = list(lens) + (list(neg_lens) if do_cfg else [])
-        cap_seq = _pad32(int(max(all_lens)))
-        if do_cfg:
-            packed = np.concatenate([embeds[:, :cap_seq], neg_embeds[:, :cap_seq]], axis=0)
-            cap, cap_attn, cap_inner = self._pack_captions(packed, np.asarray(all_lens), cap_seq)
-        else:
-            cap, cap_attn, cap_inner = self._pack_captions(embeds[:, :cap_seq], lens, cap_seq)
 
         control_ctx = self._prepare_control_latents(control_image, height, width, batch_size)
 
@@ -158,27 +147,11 @@ class ZImageControlNetPipeline(ZImagePipeline):
             key, lat_key = jax.random.split(key)
             latents = randn_tensor((batch_size, num_channels_latents, lh, lw), key=lat_key)
 
-        image_seq_len = (lh // 2) * (lw // 2)
-        mu = calculate_shift(
-            image_seq_len,
-            self.scheduler.config.get("base_image_seq_len", 256),
-            self.scheduler.config.get("max_image_seq_len", 4096),
-            self.scheduler.config.get("base_shift", 0.5),
-            self.scheduler.config.get("max_shift", 1.15),
-        )
-        if sigmas is None:
-            sigmas = np.linspace(1.0, 1 / num_inference_steps, num_inference_steps)
-        try:
-            state = self.scheduler.set_timesteps(num_inference_steps, sigmas=np.asarray(sigmas), mu=mu)
-        except (TypeError, ValueError):
-            state = self.scheduler.set_timesteps(num_inference_steps)
-
-        t_norms = (1000.0 - np.asarray(state.timesteps)) / 1000.0
-        g_steps = jnp.asarray(np.where(t_norms > float(cfg_truncation), 0.0, guidance_scale),
-                              dtype=jnp.float32)
+        state = self._schedule(num_inference_steps, sigmas, (lh // 2) * (lw // 2))
+        g_steps = self._guidance_steps(state.timesteps, guidance_scale, cfg_truncation)
 
         x_freqs, cap_freqs = transformer.compute_freqs(
-            tuple(int(n) for n in all_lens), (1, lh // 2, lw // 2), cap_seq)
+            tuple(int(n) for n in all_lens), (1, lh // 2, lw // 2), cap.shape[1])
 
         denoise = self._jit(
             "denoise_cn",
@@ -191,14 +164,7 @@ class ZImageControlNetPipeline(ZImagePipeline):
                           jnp.asarray(cap_attn), jnp.asarray(cap_inner), x_freqs,
                           cap_freqs, g_steps, state.timesteps, state)
 
-        if output_type == "latent":
-            image = latents
-        else:
-            vae, vae_params = self.vae
-            lat = latents / vae.config.scaling_factor + vae.config.get("shift_factor", 0.0)
-            image = vae.decode(vae_params, lat).sample
-            image = self.image_processor.postprocess(image, output_type=output_type)
-
+        image = latents if output_type == "latent" else self._decode(latents, output_type)
         if not return_dict:
             return (image,)
         return ZImagePipelineOutput(images=image)
