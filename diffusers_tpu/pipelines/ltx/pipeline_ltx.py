@@ -94,6 +94,12 @@ class LTXPipeline(DiffusionPipeline):
         std = latents_std.reshape(1, -1, 1, 1, 1).astype(latents.dtype)
         return latents * std / scaling_factor + mean
 
+    @staticmethod
+    def _normalize_latents(latents, latents_mean, latents_std, scaling_factor: float = 1.0):
+        mean = latents_mean.reshape(1, -1, 1, 1, 1).astype(latents.dtype)
+        std = latents_std.reshape(1, -1, 1, 1, 1).astype(latents.dtype)
+        return (latents - mean) * scaling_factor / std
+
     # ------------------------------------------------------------- denoise
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
