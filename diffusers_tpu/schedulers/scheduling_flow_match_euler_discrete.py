@@ -168,14 +168,32 @@ class FlowMatchEulerDiscreteScheduler(SchedulerMixin, ConfigMixin):
         timestep,
         sample: jax.Array,
         key: Optional[jax.Array] = None,
+        per_token_timesteps: Optional[jax.Array] = None,
         return_dict: bool = True,
     ):
-        idx = index_for_timestep(state.timesteps, jnp.asarray(timestep, dtype=state.timesteps.dtype))
-        sigma = state.sigmas[idx]
-        sigma_next = state.sigmas[idx + 1]
-
         sample_f = sample.astype(jnp.float32)
         model_output_f = model_output.astype(jnp.float32)
+
+        if per_token_timesteps is not None:
+            # Per-token Euler step (reference scheduling_flow_match_euler_discrete
+            # .py:486-496): each token steps from its own sigma down to the
+            # largest grid sigma strictly below it (0 if none) — the LTX
+            # condition pipelines pin conditioning tokens at sigma≈0 this way.
+            per_token_sigmas = (
+                per_token_timesteps.astype(jnp.float32) / self.config.num_train_timesteps
+            )  # [B, S]
+            grid = state.sigmas.astype(jnp.float32)  # [n+1]
+            lower = jnp.max(
+                jnp.where(grid[:, None, None] < per_token_sigmas[None] - 1e-6,
+                          grid[:, None, None], 0.0),
+                axis=0,
+            )  # [B, S]
+            sigma = per_token_sigmas[..., None]
+            sigma_next = lower[..., None]
+        else:
+            idx = index_for_timestep(state.timesteps, jnp.asarray(timestep, dtype=state.timesteps.dtype))
+            sigma = state.sigmas[idx]
+            sigma_next = state.sigmas[idx + 1]
 
         if self.config.stochastic_sampling:
             if key is None:
