@@ -209,6 +209,8 @@ _TRANSFORMERS_CLASS_REGISTRY: Dict[str, str] = {
     "CLIPTextModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPTextModelWithProjection",
     "CLIPVisionModel": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModel",
     "CLIPVisionModelWithProjection": "diffusers_tpu.models.text_encoders.clip.CLIPVisionModelWithProjection",
+    "SiglipVisionModel": "diffusers_tpu.models.text_encoders.siglip.SiglipVisionModel",
+    "HunyuanVideoFramepackTransformer3DModel": "diffusers_tpu.models.transformers.transformer_hunyuan_video_framepack.HunyuanVideoFramepackTransformer3DModel",
     "T5EncoderModel": "diffusers_tpu.models.text_encoders.t5.T5EncoderModel",
     "UMT5EncoderModel": "diffusers_tpu.models.text_encoders.t5.UMT5EncoderModel",
     "Gemma2Model": "diffusers_tpu.models.text_encoders.gemma.Gemma2Model",
