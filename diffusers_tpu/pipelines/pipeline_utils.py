@@ -183,6 +183,9 @@ _DIFFUSERS_CLASS_REGISTRY: Dict[str, str] = {
     "ScoreSdeVpScheduler": "diffusers_tpu.schedulers.deprecated.scheduling_sde_vp.ScoreSdeVpScheduler",
     "LTXEulerAncestralRFScheduler": "diffusers_tpu.schedulers.scheduling_ltx_euler_ancestral_rf.LTXEulerAncestralRFScheduler",
     "MiniMaxH3Scheduler": "diffusers_tpu.schedulers.scheduling_minimax_h3.MiniMaxH3Scheduler",
+    "MiniMaxH3Transformer3DModel": "diffusers_tpu.models.transformers.transformer_minimax_h3.MiniMaxH3Transformer3DModel",
+    "AutoencoderKLMiniMaxH3": "diffusers_tpu.models.autoencoders.autoencoder_kl_minimax_h3.AutoencoderKLMiniMaxH3",
+    "AutoencoderKLMiniMaxH3Audio": "diffusers_tpu.models.autoencoders.autoencoder_kl_minimax_h3_audio.AutoencoderKLMiniMaxH3Audio",
     "VQDiffusionScheduler": "diffusers_tpu.schedulers.scheduling_vq_diffusion.VQDiffusionScheduler",
     "DPMSolverMultistepInverseScheduler": "diffusers_tpu.schedulers.scheduling_dpmsolver_multistep_inverse.DPMSolverMultistepInverseScheduler",
     "HeliosScheduler": "diffusers_tpu.schedulers.scheduling_helios.HeliosScheduler",
