@@ -403,6 +403,17 @@ class WanAnimateTransformer3DModel(Module, ModelMixin, ConfigMixin):
         ).astype(jnp.float32)
         return params
 
+    def encode_face_motion(self, params: Params, face_pixel_values: jax.Array) -> jax.Array:
+        """[B, 3, S, size, size] face frames → [B, T'+1, N+1, D] motion tokens
+        (motion encoder → face encoder → zero-prepended frame pad)."""
+        fb, fc, ft, fh, fw = face_pixel_values.shape
+        frames = jnp.transpose(face_pixel_values, (0, 2, 1, 3, 4)).reshape(fb * ft, fc, fh, fw)
+        motion_vec = self.motion_encoder(params["motion_encoder"], frames)
+        motion_vec = motion_vec.reshape(fb, ft, -1)
+        motion_vec = self.face_encoder(params["face_encoder"], motion_vec)
+        pad_face = jnp.zeros_like(motion_vec[:, :1])
+        return jnp.concatenate([pad_face, motion_vec], axis=1)
+
     def __call__(
         self,
         params: Params,
@@ -412,6 +423,7 @@ class WanAnimateTransformer3DModel(Module, ModelMixin, ConfigMixin):
         encoder_hidden_states_image: Optional[jax.Array] = None,
         pose_hidden_states: Optional[jax.Array] = None,  # [B, C, T, H, W]
         face_pixel_values: Optional[jax.Array] = None,  # [B, 3, S, size, size]
+        motion_vec: Optional[jax.Array] = None,  # precomputed [B, T'+1, N+1, D]
         return_dict: bool = True,
     ) -> Union[Transformer3DModelOutput, tuple]:
         if pose_hidden_states is not None and pose_hidden_states.shape[2] + 1 != hidden_states.shape[2]:
@@ -436,14 +448,11 @@ class WanAnimateTransformer3DModel(Module, ModelMixin, ConfigMixin):
         if ehs_image is not None:
             encoder_hidden_states = jnp.concatenate([ehs_image, encoder_hidden_states], axis=1)
 
-        # face motion → per-frame multi-head motion tokens
-        fb, fc, ft, fh, fw = face_pixel_values.shape
-        frames = jnp.transpose(face_pixel_values, (0, 2, 1, 3, 4)).reshape(fb * ft, fc, fh, fw)
-        motion_vec = self.motion_encoder(params["motion_encoder"], frames)
-        motion_vec = motion_vec.reshape(fb, ft, -1)
-        motion_vec = self.face_encoder(params["face_encoder"], motion_vec)
-        pad_face = jnp.zeros_like(motion_vec[:, :1])
-        motion_vec = jnp.concatenate([pad_face, motion_vec], axis=1)
+        # face motion → per-frame multi-head motion tokens. The encoders are
+        # step-invariant, so a pipeline's scanned denoise loop should compute
+        # `motion_vec` once via `encode_face_motion` and pass it in.
+        if motion_vec is None:
+            motion_vec = self.encode_face_motion(params, face_pixel_values)
 
         inject = self.config.inject_face_latents_blocks
         for i, block in enumerate(self.blocks):
