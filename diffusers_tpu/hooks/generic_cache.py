@@ -15,11 +15,15 @@ configs:
   * ``MagCacheConfig`` — magnitude-ratio-guided output reuse (reference
     `hooks/mag_cache.py`); the generic form caches the *model output* and
     replays it scaled on skip steps.
-  * ``TextKVCacheConfig`` — accepted everywhere and a no-op *by construction*:
-    text-conditioned K/V projections are loop-invariant inside our
-    `lax.scan` denoise loops, so XLA's loop-invariant code motion hoists them
-    out of the loop — the exact computation the reference's text-KV cache
-    hook avoids re-running each step (`hooks/text_kv_cache.py`).
+  * ``TextKVCacheConfig`` — accepted in `denoise_scan` and a no-op *by
+    construction*: text-conditioned K/V projections are loop-invariant inside
+    our `lax.scan` denoise loops, so XLA's loop-invariant code motion hoists
+    them out of the loop — the exact computation the reference's text-KV
+    cache hook avoids re-running each step (`hooks/text_kv_cache.py`).
+    MEASURED, not assumed: `tests/test_text_kv_hoisting.py` compiles a
+    30-step scan with the projections in the body vs manually hoisted and
+    asserts equal FLOPs (within 2%). Rejected in
+    `denoise_loop_with_callback`, whose per-step jit re-runs them for real.
 
 Model-internal caches (FirstBlockCache, PyramidAttentionBroadcast,
 FasterCache) need per-architecture forward variants and stay per-pipeline
@@ -141,7 +145,13 @@ def denoise_loop_with_callback(forward_cb, scheduler, latents, state, timesteps,
             "latents" (include e.g. "guidance_scale" for cutoff callbacks).
     Returns final latents.
     """
-    if cache_cfg is not None and not isinstance(cache_cfg, TextKVCacheConfig):
+    if cache_cfg is not None:
+        # TextKVCacheConfig is also rejected here: its no-op justification
+        # (XLA loop-invariant code motion, measured in
+        # tests/test_text_kv_hoisting.py) only holds inside a single
+        # `lax.scan` jit — this loop jits ONE step and replays it, so the
+        # text K/V projections genuinely recompute every step and silently
+        # accepting the config would misrepresent it as active (r4 advisor).
         raise ValueError(
             "callback_on_step_end cannot yet be combined with cache config "
             f"{type(cache_cfg).__name__}; disable one of them"

@@ -366,11 +366,27 @@ def stream_load_params(
         # HF_ENABLE_PARALLEL_LOADING threadpool shard load,
         # `model_loading_utils.py:391`); device placement stays on the main
         # thread so at most `workers` chunks of host memory are in flight.
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            for converted in pool.map(lambda t: convert_chunk(*t), tasks):
-                place(converted)
+            # Sliding window of at most `workers` futures: pool.map would
+            # submit every chunk eagerly, so if device_put is slower than
+            # disk read the completed chunks pile up on host and the
+            # "bounded host memory" claim breaks (r4 advisor). Submitting
+            # the next task only after consuming a result caps in-flight
+            # host memory at `workers` chunks for real.
+            it = iter(tasks)
+            window: deque = deque()
+            for t in it:
+                window.append(pool.submit(convert_chunk, *t))
+                if len(window) >= workers:
+                    break
+            while window:
+                place(window.popleft().result())
+                for t in it:
+                    window.append(pool.submit(convert_chunk, *t))
+                    break
     else:
         for t in tasks:
             place(convert_chunk(*t))

@@ -20,12 +20,17 @@ from ..ops.module import Conv2d, GroupNorm, Linear, Module, Params, get_activati
 
 def _fused_gn_silu(norm: GroupNorm, params: Params, x: jax.Array) -> jax.Array:
     """GroupNorm+SiLU via the Pallas kernel when profitable (large spatial,
-    lane-aligned channels, on TPU); None → caller uses the jnp path."""
-    # Measured end-to-end on the SDXL UNet this kernel REGRESSES (122.6 →
-    # 138.4 ms): XLA already fuses the GN statistics/apply into neighboring
-    # producers/consumers, and the pallas_call boundary breaks those fusions.
-    # Kept for workloads where GN stands alone; disabled in the resnet path.
-    return None
+    lane-aligned channels, on TPU); None → caller uses the jnp path.
+
+    Opt-in via DIFFUSERS_TPU_FUSED_GN=1: measured end-to-end on the SDXL UNet
+    the lone pallas_call REGRESSES (122.6 → 138.4 ms) — XLA already fuses the
+    GN statistics/apply into neighboring producers/consumers, and the kernel
+    boundary breaks those fusions. Kept for workloads where GN stands alone.
+    """
+    from ..utils import constants
+
+    if not constants.DIFFUSERS_TPU_FUSED_GN:
+        return None
     b, h, w, c = x.shape
     if not _on_tpu() or c % 128 != 0 or (h * w) < 4096 or (h * w) % 16 != 0:
         return None

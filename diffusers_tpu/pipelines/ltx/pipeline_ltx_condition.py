@@ -125,7 +125,12 @@ class LTXConditionPipeline(LTXPipeline):
                 noise_pred = uncond + guidance_scale * (text - uncond)
                 tt = tt[: lat.shape[0]]
 
-            denoised = scheduler.step(sstate, -noise_pred, t, lat,
+            # Our scheduler uses prev = sample + (sigma_next - sigma) * v in BOTH
+            # branches (scheduling_flow_match_euler_discrete.py:205), so the raw
+            # velocity is passed un-negated. (The reference negates at
+            # `pipeline_ltx_condition.py:1000` only because its per-token branch
+            # defines dt = sigma - sigma_next, cancelling the negation.)
+            denoised = scheduler.step(sstate, noise_pred, t, lat,
                                       per_token_timesteps=tt if has_cond else None).prev_sample
             if has_cond:
                 to_denoise = ((t / 1000.0 - 1e-6) < (1.0 - conditioning_mask))[..., None]

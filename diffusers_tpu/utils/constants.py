@@ -44,3 +44,8 @@ DIFFUSERS_TPU_DISABLE_REMOTE_CODE = _flag("DIFFUSERS_TPU_DISABLE_REMOTE_CODE")
 DIFFUSERS_TPU_PARALLEL_LOADING_WORKERS = int(
     os.environ.get("DIFFUSERS_TPU_PARALLEL_LOADING_WORKERS", "8")
 )
+# Opt-in Pallas GroupNorm+SiLU kernel in resnet blocks. OFF by default:
+# measured on-chip (r3, v5e) the lone pallas_call REGRESSES the SDXL UNet
+# forward 122.6 -> 138.4 ms because it breaks XLA's GN<->conv fusions; kept
+# for workloads where GN stands alone (consumed by models.resnet._fused_gn_silu).
+DIFFUSERS_TPU_FUSED_GN = _flag("DIFFUSERS_TPU_FUSED_GN")

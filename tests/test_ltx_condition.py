@@ -61,6 +61,50 @@ def test_ltx_condition_video_nonzero_frame_index():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_per_token_step_matches_scalar_step():
+    """The per-token Euler branch with uniform timesteps must equal the scalar
+    branch — guards the sign convention (r4 advisor: the condition pipeline
+    passed -noise_pred, inverting the update vs scheduling_flow_match_euler_
+    discrete.py:205 which uses +(sigma_next - sigma)*v in BOTH branches)."""
+    sched = FlowMatchEulerDiscreteScheduler(use_dynamic_shifting=False, shift=1.0)
+    state = sched.set_timesteps(num_inference_steps=4)
+    rng = np.random.RandomState(0)
+    sample = jnp.asarray(rng.randn(1, 6, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 6, 8).astype(np.float32))
+    t = state.timesteps[1]
+    scalar = sched.step(state, v, t, sample).prev_sample
+    tt = jnp.full((1, 6), t, jnp.float32)
+    per_tok = sched.step(state, v, t, sample, per_token_timesteps=tt).prev_sample
+    np.testing.assert_allclose(np.asarray(per_tok), np.asarray(scalar), atol=1e-5)
+
+
+def test_condition_denoise_matches_uncond_path_with_zero_mask():
+    """has_cond branch with an all-zero conditioning mask (no token pinned)
+    must reproduce the conditioning_mask=None branch step-for-step — catches
+    any sign/timestep divergence between the two code paths."""
+    pipe = _pipe()
+    transformer, t_params = pipe.transformer
+    sched = pipe.scheduler
+    state = sched.set_timesteps(num_inference_steps=3)
+    rng = np.random.RandomState(0)
+    rt, rs = pipe.vae_temporal_compression_ratio, pipe.vae_spatial_compression_ratio
+    f, h, w = (9 - 1) // rt + 1, 32 // rs, 32 // rs
+    seq = f * h * w
+    latents = jnp.asarray(rng.randn(1, seq, transformer.config.in_channels).astype(np.float32))
+    embeds = jnp.asarray(rng.randn(1, 16, transformer.config.caption_channels).astype(np.float32))
+    mask = jnp.ones((1, 16), jnp.bool_)
+    coords = jnp.stack(jnp.meshgrid(jnp.arange(f), jnp.arange(h), jnp.arange(w), indexing="ij"), axis=0)
+    coords = coords.reshape(3, -1)[None].astype(jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    kwargs = dict(embeds=embeds, mask=mask, video_coords=coords,
+                  timesteps=state.timesteps, noise_keys=keys, state=state,
+                  guidance_scale=1.0, do_cfg=False, image_cond_noise_scale=0.0)
+    base = pipe._denoise_condition(t_params, latents, latents, None, **kwargs)
+    cond = pipe._denoise_condition(t_params, latents, latents,
+                                   jnp.zeros((1, seq), jnp.float32), **kwargs)
+    np.testing.assert_allclose(np.asarray(cond), np.asarray(base), atol=1e-4)
+
+
 def test_ltx_condition_latents_denoise_strength():
     pipe = _pipe()
     rt, rs = pipe.vae_temporal_compression_ratio, pipe.vae_spatial_compression_ratio
