@@ -47,7 +47,7 @@ class TextKVCacheConfig:
     text K/V); the config exists so user code ports 1:1."""
 
 
-def denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg=None):
+def denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg=None, pipe=None):
     """Run the denoise loop as one `lax.scan`, honoring a model-agnostic cache.
 
     Args:
@@ -58,8 +58,25 @@ def denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg=None):
         state: scheduler state from set_timesteps.
         timesteps: [N] timesteps array.
         cache_cfg: None | TaylorSeerCacheConfig | MagCacheConfig | TextKVCacheConfig.
+        pipe: the owning DiffusionPipeline. When its `_active_callback` is set
+            (a `callback_on_step_end` routed through `pipe._denoise_entry`),
+            the fused scan is replaced by a per-step jitted loop that fires
+            the callback after each scheduler step — every pipeline built on
+            denoise_scan inherits callback support this way (reference wires
+            it per-pipeline, `pipelines/flux/pipeline_flux.py:938`).
     Returns final latents.
     """
+    cb_ctx = getattr(pipe, "_active_callback", None) if pipe is not None else None
+    if cb_ctx is not None:
+        callback, extras = cb_ctx
+        if cache_cfg is not None:
+            raise ValueError(
+                "callback_on_step_end cannot yet be combined with cache config "
+                f"{type(cache_cfg).__name__}; disable one of them"
+            )
+        return _denoise_steps_with_callback(forward, scheduler, latents, state,
+                                            timesteps, pipe, callback, extras)
+
     from .taylorseer import (
         TaylorSeerCacheConfig,
         init_taylorseer_state,
@@ -121,6 +138,33 @@ def denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg=None):
         f"denoise_scan does not support cache config {type(cache_cfg).__name__}; "
         "supported: TaylorSeerCacheConfig, MagCacheConfig, TextKVCacheConfig"
     )
+
+
+def _denoise_steps_with_callback(forward, scheduler, latents, state, timesteps,
+                                 pipe, callback, extras):
+    """Generic per-step loop behind `denoise_scan(pipe=...)`: one jitted step
+    per iteration, callback fired after each scheduler step (reference
+    semantics). The callback may replace "latents"; other returned keys are
+    ignored here because `forward` closes over its conditioning — pipelines
+    that support tensor mutation route through `denoise_loop_with_callback`
+    with an explicit forward_cb instead."""
+    import jax
+
+    num_steps = int(timesteps.shape[0])
+    pipe._num_timesteps = num_steps
+
+    @jax.jit
+    def one_step(lat, sstate, t):
+        out = scheduler.step(sstate, forward(lat, t, sstate), t, lat)
+        return out.prev_sample, out.state
+
+    ts_host = np.asarray(timesteps)
+    for i in range(num_steps):
+        latents, state = one_step(latents, state, jnp.asarray(ts_host[i]))
+        kwargs = {"latents": latents, **extras}
+        out = callback(pipe, i, ts_host[i], kwargs) or {}
+        latents = out.get("latents", latents)
+    return latents
 
 
 def denoise_loop_with_callback(forward_cb, scheduler, latents, state, timesteps,

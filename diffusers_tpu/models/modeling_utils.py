@@ -222,6 +222,22 @@ def _host_quantize_kernel_int8(k: np.ndarray):
     return q, scale
 
 
+def _host_quantize_kernel_int4(k: np.ndarray, group_size: int):
+    """numpy mirror of quantizers.quantize._quantize_kernel_int4: group-wise
+    symmetric s4 kernel + per-[group, out] f32 scale (ml_dtypes int4 array —
+    device_put packs 2/byte in HBM)."""
+    import ml_dtypes
+
+    kf = k.astype(np.float32)
+    in_dim, out_dim = kf.shape
+    g = group_size if in_dim % group_size == 0 else in_dim
+    kg = kf.reshape(in_dim // g, g, out_dim)
+    absmax = np.maximum(np.max(np.abs(kg), axis=1), 1e-8)
+    scale = (absmax / 7.0).astype(np.float32)
+    q = np.clip(np.round(kg / scale[:, None, :]), -7, 7).astype(ml_dtypes.int4)
+    return q.reshape(in_dim, out_dim), scale
+
+
 def _host_quantize_kernel_fp8(k: np.ndarray):
     import ml_dtypes
 
@@ -239,6 +255,7 @@ def _host_maybe_quantize(value: np.ndarray, qc, module_path: str) -> Dict[str, n
     Returns {"kernel": ...} or {"kernel": q, <scale_key>: s}."""
     from ..quantizers.quantization_config import (
         Fp8WeightOnlyConfig,
+        Int4WeightOnlyConfig,
         Int8DynamicActConfig,
         Int8WeightOnlyConfig,
     )
@@ -254,6 +271,9 @@ def _host_maybe_quantize(value: np.ndarray, qc, module_path: str) -> Dict[str, n
             q, scale = _host_quantize_kernel_int8(value)
             scale_key = "kernel_scale_i8x" if getattr(qc, "impl", "pallas") == "xla" else "kernel_scale_w8a8"
             return {"kernel": q, scale_key: scale}
+        if isinstance(qc, Int4WeightOnlyConfig):
+            q, scale = _host_quantize_kernel_int4(value, qc.group_size)
+            return {"kernel": q, "kernel_scale_int4": scale}
         if isinstance(qc, Int8WeightOnlyConfig):
             q, scale = _host_quantize_kernel_int8(value)
             return {"kernel": q, "kernel_scale": scale}
@@ -455,19 +475,37 @@ class ModelMixin(ConfigMixin):
         config = cls.load_config(model_path)
         model, unused = cls.from_config(config, return_unused_kwargs=True, **kwargs)
         if gguf_file is not None:
-            from ..quantizers.gguf import load_gguf_checkpoint
+            from ..quantizers.auto import resolve_quantization_config
+            from ..quantizers.gguf import Q4Tensor, load_gguf_checkpoint
+            from ..quantizers.quantization_config import Int4WeightOnlyConfig
 
+            qc = resolve_quantization_config(quantization_config) if quantization_config is not None else None
+            # int4 target: keep Q4_0 tensors on their native 4-bit grid and
+            # map them losslessly onto the kernel/kernel_scale_int4 layout
+            # (dequant→requant would re-round onto a different grid)
+            keep_q4 = isinstance(qc, Int4WeightOnlyConfig)
             state_dict = load_gguf_checkpoint(
-                gguf_file if os.path.isabs(gguf_file) else os.path.join(model_path, gguf_file)
+                gguf_file if os.path.isabs(gguf_file) else os.path.join(model_path, gguf_file),
+                keep_q4_0=keep_q4,
             )
+            q4_entries = {k: v for k, v in state_dict.items() if isinstance(v, Q4Tensor)}
+            state_dict = {k: v for k, v in state_dict.items() if not isinstance(v, Q4Tensor)}
             params = convert_torch_state_dict(model, state_dict, dtype=resolve_dtype(dtype, default=None))
-            if quantization_config is not None:
-                from ..quantizers.auto import resolve_quantization_config
+            for key, q4 in q4_entries.items():
+                leaf, path, pname = _resolve_module(model, key.split("."))
+                if pname == "weight" and isinstance(leaf, Linear):
+                    # torch [out, in] → kernel s4 [in, out]; block scales along
+                    # the input dim → kernel_scale_int4 [in/32, out]
+                    _set_nested(params, path + ["kernel"], jnp.asarray(np.ascontiguousarray(q4.q.T)))
+                    _set_nested(params, path + ["kernel_scale_int4"],
+                                jnp.asarray(np.ascontiguousarray(q4.scales.T)))
+                else:  # non-Linear Q4 tensor: materialize float
+                    name, value = _leaf_convert_from_torch(leaf, pname, q4.dequantize())
+                    _set_nested(params, path + [name], jnp.asarray(value))
+            if qc is not None:
                 from ..quantizers.quantize import quantize_params
 
-                qc = resolve_quantization_config(quantization_config)
-                if qc is not None:
-                    params = quantize_params(params, qc)
+                params = quantize_params(params, qc)
             if mesh is not None:
                 from ..parallel.plans import MODEL_TP_PLANS, shard_params
 

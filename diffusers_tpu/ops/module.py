@@ -148,7 +148,13 @@ class Linear(Module):
             return w8a8_matmul(
                 x, kernel, params["kernel_scale_w8a8"], bias=params.get("bias") if self.use_bias else None
             )
-        if "kernel_scale" in params:  # weight-only quantized (int8/fp8)
+        if "kernel_scale_int4" in params:
+            # group-wise int4 weight-only: s4 storage (2/byte in HBM) with the
+            # convert + per-group scale multiply fused into this matmul by XLA
+            from ..quantizers.quantize import dequantize_int4
+
+            kernel = dequantize_int4(kernel, params["kernel_scale_int4"], x.dtype)
+        elif "kernel_scale" in params:  # weight-only quantized (int8/fp8)
             kernel = kernel.astype(x.dtype) * params["kernel_scale"].astype(x.dtype)[None, :]
         y = x @ kernel.astype(x.dtype)
         if self.use_bias:

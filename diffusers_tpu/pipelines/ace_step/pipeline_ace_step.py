@@ -327,7 +327,7 @@ class AceStepPipeline(DiffusionPipeline):
             return vt
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     # ------------------------------------------------------------------ #
     #                                call                                  #
@@ -364,6 +364,8 @@ class AceStepPipeline(DiffusionPipeline):
         cfg_interval_start: float = 0.0,
         cfg_interval_end: float = 1.0,
         timesteps: Optional[List[float]] = None,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -485,12 +487,10 @@ class AceStepPipeline(DiffusionPipeline):
         cfg_on = jnp.asarray(((cfg_interval_start <= ratio) & (ratio <= cfg_interval_end))
                              .astype(np.float32))
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg,
-                    audio_cover_strength=float(audio_cover_strength)),
-            static=(float(guidance_scale), do_cfg, float(audio_cover_strength)),
-        )
+                    audio_cover_strength=float(audio_cover_strength)), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg, float(audio_cover_strength)))
         latents = denoise(t_params, latents, encoder_hidden_states, null_hidden_states,
                           non_cover_hidden_states, context_latents, state.timesteps, cfg_on, state)
 

@@ -99,7 +99,7 @@ class BriaFiboPipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -115,6 +115,8 @@ class BriaFiboPipeline(DiffusionPipeline):
         max_sequence_length: int = 3000,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -167,11 +169,9 @@ class BriaFiboPipeline(DiffusionPipeline):
         except (TypeError, ValueError):
             state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg),
-            static=(float(guidance_scale), do_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg))
         latents = denoise(t_params, latents, embeds, layers, rope, state.timesteps, state)
 
         if output_type == "latent":

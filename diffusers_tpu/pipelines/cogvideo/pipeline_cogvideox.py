@@ -97,7 +97,7 @@ class CogVideoXPipeline(DiffusionPipeline):
             return noise_pred
 
         return denoise_scan(forward, scheduler, latents, state, state.timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -114,6 +114,8 @@ class CogVideoXPipeline(DiffusionPipeline):
         max_sequence_length: int = 226,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -140,12 +142,10 @@ class CogVideoXPipeline(DiffusionPipeline):
         state = self.scheduler.set_timesteps(num_inference_steps)
         latents = latents * state.init_noise_sigma
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=guidance_scale,
-                    use_dynamic_cfg=use_dynamic_cfg, do_cfg=do_cfg),
-            static=(guidance_scale, use_dynamic_cfg, do_cfg),
-        )
+                    use_dynamic_cfg=use_dynamic_cfg, do_cfg=do_cfg), callback_on_step_end,
+            static=(guidance_scale, use_dynamic_cfg, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, negative_embeds, rope, state)
 
         if output_type == "latent":

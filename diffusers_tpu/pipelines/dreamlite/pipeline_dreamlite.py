@@ -140,7 +140,7 @@ class DreamLitePipeline(DiffusionPipeline):
                     + image_guidance_scale * (img_p - uncond))
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -158,6 +158,8 @@ class DreamLitePipeline(DiffusionPipeline):
         return_dict: bool = True,
         max_sequence_length: int = 200,
         text_pad_embedding=None,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         unet, u_params = self.unet
         vae, vae_params = self.vae
@@ -219,12 +221,10 @@ class DreamLitePipeline(DiffusionPipeline):
         # time ids replicated per CFG branch (reference `:543`)
         time_ids_in = jnp.concatenate([add_time_ids] * n_branches, axis=0)
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=float(guidance_scale),
-                    image_guidance_scale=float(image_guidance_scale), task=task),
-            static=(float(guidance_scale), float(image_guidance_scale), task),
-        )
+                    image_guidance_scale=float(image_guidance_scale), task=task), callback_on_step_end,
+            static=(float(guidance_scale), float(image_guidance_scale), task))
         latents = denoise(u_params, latents, image_latents, uncond_image_latents,
                           prompt_embeds, text_mask, time_ids_in, state.timesteps, state)
 

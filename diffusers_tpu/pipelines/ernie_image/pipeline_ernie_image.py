@@ -111,7 +111,7 @@ class ErnieImagePipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -129,6 +129,8 @@ class ErnieImagePipeline(DiffusionPipeline):
         output_type: str = "pil",
         return_dict: bool = True,
         use_pe: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -181,11 +183,9 @@ class ErnieImagePipeline(DiffusionPipeline):
         sigmas = np.linspace(1.0, 0.0, num_inference_steps + 1)[:-1]
         state = self.scheduler.set_timesteps(sigmas=list(sigmas))
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg),
-            static=(float(guidance_scale), do_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg))
         latents = denoise(t_params, latents, text_bth, text_lens, state.timesteps, state)
 
         if output_type == "latent":

@@ -276,7 +276,7 @@ class GlmImagePipeline(DiffusionPipeline):
             return cond
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -297,6 +297,8 @@ class GlmImagePipeline(DiffusionPipeline):
         max_sequence_length: int = 2048,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -377,11 +379,9 @@ class GlmImagePipeline(DiffusionPipeline):
         except (TypeError, ValueError):
             state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg),
-            static=(float(guidance_scale), do_cfg, kv_cache is None),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg, kv_cache is None))
         latents = denoise(t_params, latents, prompt_embeds, negative_prompt_embeds,
                           prior_token_ids, target_size, crop_coords, rope, kv_cache,
                           state.timesteps, state)

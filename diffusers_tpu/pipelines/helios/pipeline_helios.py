@@ -152,7 +152,7 @@ class HeliosPipeline(DiffusionPipeline):
             ).sample
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -185,6 +185,8 @@ class HeliosPipeline(DiffusionPipeline):
         num_latent_frames_per_chunk: int = 9,
         keep_first_frame: bool = True,
         is_skip_first_chunk: bool = False,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -267,11 +269,9 @@ class HeliosPipeline(DiffusionPipeline):
             self.scheduler.config.get("max_shift", 1.15),
         )
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg),
-            static=(float(guidance_scale), do_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg))
         decode = self._jit(
             "decode", lambda p, z: vae.decode(p, z / inv_std + mean).sample)
 

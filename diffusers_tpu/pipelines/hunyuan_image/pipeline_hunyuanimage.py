@@ -183,7 +183,7 @@ class HunyuanImagePipeline(DiffusionPipeline):
             (latents, _), _ = jax.lax.scan(step_fn, (latents, state), (timesteps, jnp.arange(n_steps)))
             return latents
         return denoise_scan(forward, scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -199,6 +199,8 @@ class HunyuanImagePipeline(DiffusionPipeline):
         max_sequence_length: Optional[int] = None,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         height = height or self.default_sample_size * self.vae_scale_factor
@@ -248,11 +250,9 @@ class HunyuanImagePipeline(DiffusionPipeline):
             guidance = jnp.full((batch_size,), distilled_guidance_scale * 1000.0, latents.dtype)
 
         use_meanflow = bool(transformer.config.get("use_meanflow", False))
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guider=guider, do_cfg=do_cfg, use_meanflow=use_meanflow),
-            static=(id(guider), do_cfg, use_meanflow),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guider=guider, do_cfg=do_cfg, use_meanflow=use_meanflow), callback_on_step_end,
+            static=(id(guider), do_cfg, use_meanflow))
         latents = denoise(t_params, latents, embeds, mask, embeds_2, mask_2,
                           neg_embeds, neg_mask, neg_embeds_2, neg_mask_2, guidance,
                           state.timesteps, state)

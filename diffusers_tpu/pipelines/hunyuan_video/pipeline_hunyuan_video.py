@@ -117,7 +117,7 @@ class HunyuanVideoPipeline(DiffusionPipeline):
             return noise_pred
 
         return denoise_scan(forward, scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -137,6 +137,8 @@ class HunyuanVideoPipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -168,11 +170,9 @@ class HunyuanVideoPipeline(DiffusionPipeline):
         guidance = jnp.full((batch_size,), guidance_scale * 1000.0, dtype=jnp.float32)
         rope_cos, rope_sin = transformer.rope(num_latent_frames, lh, lw)
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, true_cfg_scale=true_cfg_scale, do_true_cfg=do_true_cfg),
-            static=(true_cfg_scale, do_true_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, true_cfg_scale=true_cfg_scale, do_true_cfg=do_true_cfg), callback_on_step_end,
+            static=(true_cfg_scale, do_true_cfg))
         latents = denoise(t_params, latents, prompt_embeds, prompt_mask, pooled, guidance,
                           neg_embeds, neg_mask, neg_pooled,
                           jnp.asarray(rope_cos), jnp.asarray(rope_sin), state.timesteps, state)

@@ -211,7 +211,7 @@ class HunyuanVideo15Pipeline(DiffusionPipeline):
                 step_fn, (latents, state), (timesteps, jnp.arange(n_steps)))
             return latents
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def prepare_cond_latents_and_mask(self, latents):
         """Zero conditioning channels for pure t2v (reference `:508`)."""
@@ -232,6 +232,8 @@ class HunyuanVideo15Pipeline(DiffusionPipeline):
         latents: Optional[jax.Array] = None,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -276,11 +278,9 @@ class HunyuanVideo15Pipeline(DiffusionPipeline):
         image_embeds = jnp.zeros(
             (batch_size, self.vision_num_semantic_tokens, self.vision_states_dim), latents.dtype)
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guider=guider, do_cfg=do_cfg),
-            static=(id(guider), do_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guider=guider, do_cfg=do_cfg), callback_on_step_end,
+            static=(id(guider), do_cfg))
         latents = denoise(t_params, latents, cond_latents, mask_latents, image_embeds,
                           embeds, mask, embeds_2, mask_2, neg_embeds, neg_mask,
                           neg_embeds_2, neg_mask_2, state.timesteps, state)

@@ -185,7 +185,7 @@ class Ideogram4Pipeline(DiffusionPipeline):
             return -v
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -204,6 +204,8 @@ class Ideogram4Pipeline(DiffusionPipeline):
         use_prompt_enhancer: bool = False,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         _, u_params = self.unconditional_transformer
@@ -252,12 +254,10 @@ class Ideogram4Pipeline(DiffusionPipeline):
         pos_rope = transformer.rotary_emb(position_ids)
         neg_rope = transformer.rotary_emb(neg_position_ids)
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, max_text_tokens=max_sequence_length,
-                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))),
-            static=(max_sequence_length,),
-        )
+                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))), callback_on_step_end,
+            static=(max_sequence_length,))
         latents = denoise(t_params, u_params, latents, llm_features, neg_llm_features,
                           pos_rope, neg_rope, jnp.asarray(segment_ids), jnp.asarray(indicator),
                           jnp.asarray(neg_segment_ids), jnp.asarray(neg_indicator),

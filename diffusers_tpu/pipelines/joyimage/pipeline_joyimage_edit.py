@@ -128,7 +128,7 @@ class JoyImageEditPipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -145,6 +145,8 @@ class JoyImageEditPipeline(DiffusionPipeline):
         enable_denormalization: bool = True,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -189,12 +191,10 @@ class JoyImageEditPipeline(DiffusionPipeline):
         except (TypeError, ValueError):
             state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg,
-                    n_ref=n_ref),
-            static=(float(guidance_scale), do_cfg, n_ref),
-        )
+                    n_ref=n_ref), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg, n_ref))
         latents = denoise(t_params, latents, image_latents, embeds, neg_embeds,
                           state.timesteps, state)
 

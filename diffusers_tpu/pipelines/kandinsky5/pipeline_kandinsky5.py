@@ -122,7 +122,7 @@ class Kandinsky5T2VPipeline(DiffusionPipeline):
 
         if latents.shape[-1] == num_channels_latents:
             return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                                getattr(self, "_cache_config", None))
+                                getattr(self, "_cache_config", None), pipe=self)
 
         # visual-cond layout: only the first C channels are denoised (reference `:944`)
         def step_fn(carry, t):
@@ -149,6 +149,8 @@ class Kandinsky5T2VPipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         if key is None:
@@ -188,12 +190,10 @@ class Kandinsky5T2VPipeline(DiffusionPipeline):
             neg_text_rope = transformer.compute_rope(num_latent_frames, lh, lw, scale_factor,
                                                      text_rope_len=neg_qwen.shape[1])[1]
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg,
-                    num_channels_latents=num_channels_latents),
-            static=(guidance_scale, do_cfg, num_channels_latents),
-        )
+                    num_channels_latents=num_channels_latents), callback_on_step_end,
+            static=(guidance_scale, do_cfg, num_channels_latents))
         latents = denoise(t_params, latents, embeds_qwen, embeds_clip, neg_qwen, neg_clip,
                           visual_rope, text_rope, neg_text_rope, state.timesteps, state)
 

@@ -132,7 +132,7 @@ class Krea2Pipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -148,6 +148,8 @@ class Krea2Pipeline(DiffusionPipeline):
         max_sequence_length: int = 512,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -194,12 +196,10 @@ class Krea2Pipeline(DiffusionPipeline):
         cos, sin = transformer.rotary_emb(position_ids)
         rope = (jnp.asarray(cos), jnp.asarray(sin))
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg,
-                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))),
-            static=(guidance_scale, do_cfg),
-        )
+                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))), callback_on_step_end,
+            static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, embeds, mask, neg_embeds, neg_mask, rope,
                           state.timesteps, state)
 

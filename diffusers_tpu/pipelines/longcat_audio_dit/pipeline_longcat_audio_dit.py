@@ -124,7 +124,7 @@ class LongCatAudioDiTPipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -137,6 +137,8 @@ class LongCatAudioDiTPipeline(DiffusionPipeline):
         key: Optional[jax.Array] = None,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -179,12 +181,10 @@ class LongCatAudioDiTPipeline(DiffusionPipeline):
         state = self.scheduler.set_timesteps(sigmas=list(sigmas))
 
         do_cfg = guidance_scale > 1.0
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg,
-                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))),
-            static=(float(guidance_scale), do_cfg),
-        )
+                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg))
         latents = denoise(t_params, latents, embeds, text_mask, neg_embeds, neg_mask,
                           latent_cond, state.timesteps, state)
 

@@ -173,7 +173,7 @@ class LongCatImagePipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -190,6 +190,8 @@ class LongCatImagePipeline(DiffusionPipeline):
         latents: Optional[jax.Array] = None,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -237,12 +239,10 @@ class LongCatImagePipeline(DiffusionPipeline):
         cos, sin = transformer.pos_embed({}, np.concatenate([text_ids, img_ids], axis=0))
         rope = (jnp.asarray(cos), jnp.asarray(sin))
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg,
-                    enable_cfg_renorm=bool(enable_cfg_renorm), cfg_renorm_min=cfg_renorm_min),
-            static=(guidance_scale, do_cfg, bool(enable_cfg_renorm), cfg_renorm_min),
-        )
+                    enable_cfg_renorm=bool(enable_cfg_renorm), cfg_renorm_min=cfg_renorm_min), callback_on_step_end,
+            static=(guidance_scale, do_cfg, bool(enable_cfg_renorm), cfg_renorm_min))
         latents = denoise(t_params, latents, embeds, neg_embeds, rope, state.timesteps, state)
 
         if output_type == "latent":

@@ -159,7 +159,7 @@ class LTXPipeline(DiffusionPipeline):
             return noise_pred
 
         return denoise_scan(forward, scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     # ------------------------------------------------------------ __call__
     def __call__(
@@ -184,6 +184,8 @@ class LTXPipeline(DiffusionPipeline):
         max_sequence_length: int = 128,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -245,11 +247,9 @@ class LTXPipeline(DiffusionPipeline):
         else:
             state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit(
-            "denoise",
-            lambda *a: self._denoise(*a, guidance_scale, guidance_rescale, do_cfg),
-            static=(guidance_scale, guidance_rescale, do_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            lambda *a: self._denoise(*a, guidance_scale, guidance_rescale, do_cfg), callback_on_step_end,
+            static=(guidance_scale, guidance_rescale, do_cfg))
         latents = denoise(t_params, latents, embeds, mask, rope_cos, rope_sin, state.timesteps, state)
 
         if output_type == "latent":

@@ -80,7 +80,7 @@ class LucyEditPipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -98,6 +98,8 @@ class LucyEditPipeline(DiffusionPipeline):
         max_sequence_length: int = 512,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         if video is None:
             raise ValueError("`video` is required, received None.")
@@ -151,9 +153,10 @@ class LucyEditPipeline(DiffusionPipeline):
             if ts.shape[0] == 0:
                 continue
             stage_params = t_params if which == 0 else self.transformer_2[1]
-            denoise = self._jit(
+            denoise = self._denoise_entry(
                 f"denoise_{which}",
                 partial(self._denoise, guidance_scale=float(gs), do_cfg=do_cfg, which=which),
+                callback_on_step_end,
                 static=(float(gs), do_cfg, which),
             )
             latents = denoise(stage_params, latents, cond_latents, prompt_embeds,

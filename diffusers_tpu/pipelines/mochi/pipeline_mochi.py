@@ -116,7 +116,7 @@ class MochiPipeline(DiffusionPipeline):
 
         latents = latents.astype(jnp.float32)
         return denoise_scan(forward, scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     # ------------------------------------------------------------ __call__
     def __call__(
@@ -133,6 +133,8 @@ class MochiPipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -163,11 +165,9 @@ class MochiPipeline(DiffusionPipeline):
         sigmas = linear_quadratic_schedule(num_inference_steps, 0.025)
         state = self.scheduler.set_timesteps(num_inference_steps, sigmas=np.asarray(sigmas))
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg),
-            static=(guidance_scale, do_cfg),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg), callback_on_step_end,
+            static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, prompt_mask, state.timesteps, state)
 
         if output_type == "latent":

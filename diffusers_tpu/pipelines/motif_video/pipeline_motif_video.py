@@ -86,7 +86,7 @@ class MotifVideoPipeline(DiffusionPipeline):
             return cond
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -103,6 +103,8 @@ class MotifVideoPipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "np",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -133,12 +135,10 @@ class MotifVideoPipeline(DiffusionPipeline):
         except TypeError:
             state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg,
-                    n_steps=num_inference_steps),
-            static=(float(guidance_scale), do_cfg, num_inference_steps),
-        )
+                    n_steps=num_inference_steps), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg, num_inference_steps))
         latents = denoise(t_params, latents, latent_condition, latent_mask, embeds, mask,
                           neg_embeds, neg_mask, state.timesteps, state)
 

@@ -126,7 +126,7 @@ class NucleusMoEImagePipeline(DiffusionPipeline):
             return -pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -144,6 +144,8 @@ class NucleusMoEImagePipeline(DiffusionPipeline):
         latents: Optional[jax.Array] = None,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -194,13 +196,11 @@ class NucleusMoEImagePipeline(DiffusionPipeline):
         except (TypeError, ValueError):
             state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, img_shapes=[tuple(img_shapes[0])],
                     guidance_scale=float(guidance_scale), do_cfg=do_cfg,
-                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))),
-            static=(tuple(img_shapes[0]), float(guidance_scale), do_cfg),
-        )
+                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))), callback_on_step_end,
+            static=(tuple(img_shapes[0]), float(guidance_scale), do_cfg))
         latents = denoise(t_params, latents, embeds, mask, neg_embeds, neg_mask,
                           state.timesteps, state)
 

@@ -115,7 +115,7 @@ class OvisImagePipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -134,6 +134,8 @@ class OvisImagePipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -191,12 +193,10 @@ class OvisImagePipeline(DiffusionPipeline):
         if do_cfg and neg_embeds.shape[1] != embeds.shape[1]:
             neg_rope = transformer.pos_embed(np.concatenate([neg_text_ids, img_ids], axis=0))
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=float(guidance_scale), do_cfg=do_cfg,
-                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))),
-            static=(float(guidance_scale), do_cfg),
-        )
+                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))), callback_on_step_end,
+            static=(float(guidance_scale), do_cfg))
         latents = denoise(t_params, latents, embeds, neg_embeds, rope, neg_rope,
                           state.timesteps, state)
 

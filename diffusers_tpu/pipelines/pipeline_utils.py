@@ -564,6 +564,37 @@ class DiffusionPipeline(ConfigMixin, PipelineLoraMixin):
         self._cache_config = None
         self.clear_jit_cache()
 
+    # ------------------------------------------------------------- callbacks
+    # Set while a callback-bearing denoise runs; hooks.generic_cache.denoise_scan
+    # consults it (via its `pipe` arg) to switch from the fused lax.scan to a
+    # per-step loop that fires `callback_on_step_end` (reference semantics:
+    # every pipeline honors the argument, `pipelines/flux/pipeline_flux.py:938`).
+    _active_callback = None
+
+    def _denoise_entry(self, name: str, fn, callback=None, cb_extras=None, *,
+                       static: tuple = (), **jit_kwargs):
+        """Return the denoise callable: jitted via :meth:`_jit` when no
+        callback is given (the fused-scan fast path), or an eager wrapper that
+        exposes ``callback`` to ``denoise_scan(pipe=self)`` so the loop runs
+        one jitted step per iteration and fires the callback between steps.
+
+        The generic tier supports callbacks that observe/replace ``latents``
+        (+ read-only extras); pipelines with tensor-mutation support (CFG
+        cutoff swapping prompt_embeds) keep their explicit
+        `denoise_loop_with_callback` paths (SD/SDXL/Flux/Wan).
+        """
+        if callback is None:
+            return self._jit(name, fn, static=static, **jit_kwargs)
+
+        def run(*args, **kwargs):
+            self._active_callback = (callback, dict(cb_extras or {}))
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                self._active_callback = None
+
+        return run
+
     # ---------------------------------------------------------------- jit cache
     def _jit(self, name: str, fn=None, *, static: tuple = (), **jit_kwargs):
         """Per-instance cache of jitted callables.

@@ -94,7 +94,7 @@ class PRXPipeline(DiffusionPipeline):
             return pred
 
         return denoise_scan(forward, self.scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -109,6 +109,8 @@ class PRXPipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         height = height or self.default_sample_size * self.vae_scale_factor
@@ -138,12 +140,10 @@ class PRXPipeline(DiffusionPipeline):
         state = self.scheduler.set_timesteps(num_inference_steps)
         rope = transformer.rope(lh, lw)
 
-        denoise = self._jit(
-            "denoise",
+        denoise = self._denoise_entry("denoise",
             partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg,
-                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))),
-            static=(guidance_scale, do_cfg),
-        )
+                    num_train_timesteps=float(self.scheduler.config.get("num_train_timesteps", 1000))), callback_on_step_end,
+            static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, ca_embed, ca_mask, rope, state.timesteps, state)
 
         if output_type == "latent" or self.vae is None:

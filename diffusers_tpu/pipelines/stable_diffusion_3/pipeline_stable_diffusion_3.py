@@ -146,7 +146,7 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
                 noise_pred = uncond + guidance_scale * (text - uncond)
             return noise_pred
 
-        return denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg)
+        return denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg, pipe=self)
 
     def __call__(
         self,
@@ -162,6 +162,8 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
         max_sequence_length: int = 256,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         vae, vae_params = self.vae
@@ -197,7 +199,7 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
 
         state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg),
+        denoise = self._denoise_entry("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg), callback_on_step_end,
                             static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, pooled, state.timesteps, state)
 

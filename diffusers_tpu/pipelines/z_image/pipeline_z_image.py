@@ -195,7 +195,7 @@ class ZImagePipeline(DiffusionPipeline):
             (latents, _), _ = jax.lax.scan(step_fn, (latents, state), (timesteps, g_steps))
             return latents
         return denoise_scan(forward, scheduler, latents, state, timesteps,
-                            getattr(self, "_cache_config", None))
+                            getattr(self, "_cache_config", None), pipe=self)
 
     def __call__(
         self,
@@ -213,6 +213,8 @@ class ZImagePipeline(DiffusionPipeline):
         max_sequence_length: int = 512,
         output_type: str = "pil",
         return_dict: bool = True,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
     ):
         transformer, t_params = self.transformer
         height = height or 1024
@@ -242,11 +244,9 @@ class ZImagePipeline(DiffusionPipeline):
         x_freqs, cap_freqs = transformer.compute_freqs(
             tuple(int(n) for n in all_lens), (1, lh // 2, lw // 2), cap.shape[1])
 
-        denoise = self._jit(
-            "denoise",
-            partial(self._denoise, do_cfg=do_cfg, cfg_normalization=bool(cfg_normalization)),
-            static=(do_cfg, bool(cfg_normalization)),
-        )
+        denoise = self._denoise_entry("denoise",
+            partial(self._denoise, do_cfg=do_cfg, cfg_normalization=bool(cfg_normalization)), callback_on_step_end,
+            static=(do_cfg, bool(cfg_normalization)))
         latents = denoise(t_params, latents, jnp.asarray(cap), jnp.asarray(cap_attn),
                           jnp.asarray(cap_inner), x_freqs, cap_freqs, g_steps,
                           state.timesteps, state)

@@ -16,6 +16,7 @@ from typing import Dict, Optional, Union
 
 from .quantization_config import (
     Fp8WeightOnlyConfig,
+    Int4WeightOnlyConfig,
     Int8DynamicActConfig,
     Int8WeightOnlyConfig,
     QuantizationConfig,
@@ -23,10 +24,12 @@ from .quantization_config import (
 
 _METHOD_MAP = {
     "int8_weight_only": Int8WeightOnlyConfig,
+    "int4_weight_only": Int4WeightOnlyConfig,
     "fp8_weight_only": Fp8WeightOnlyConfig,
     "int8_dynamic_activation": Int8DynamicActConfig,
     # reference-backend aliases → nearest TPU-native regime
     "bitsandbytes_8bit": Int8WeightOnlyConfig,
+    "bitsandbytes_4bit": Int4WeightOnlyConfig,
     "torchao": Int8DynamicActConfig,
     "gguf": Int8WeightOnlyConfig,
 }
@@ -48,7 +51,10 @@ def resolve_quantization_config(
         if method not in _METHOD_MAP:
             raise ValueError(f"unknown quant_method {method!r}; known: {sorted(_METHOD_MAP)}")
         cls = _METHOD_MAP[method]
-        kwargs = {k: v for k, v in config.items() if k in ("modules_to_not_convert", "min_weight_size")}
+        allowed = ("modules_to_not_convert", "min_weight_size") + (
+            ("group_size",) if cls is Int4WeightOnlyConfig else ()
+        )
+        kwargs = {k: v for k, v in config.items() if k in allowed}
         return cls(**kwargs)
     raise TypeError(f"cannot resolve quantization config from {type(config)}")
 

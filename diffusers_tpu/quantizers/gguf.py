@@ -11,8 +11,15 @@ weight-only int8 storage + fused dequant inside the matmul is the native
 equivalent).
 
 Format: https://github.com/ggerganov/ggml/blob/master/docs/gguf.md
-Supported tensor types: F32, F16, BF16, Q8_0, Q4_0, Q4_1, Q5_0, Q5_1.
-K-quants raise with a clear message.
+Supported tensor types: F32, F16, BF16, Q8_0, Q4_0, Q4_1, Q5_0, Q5_1, Q4_K.
+Remaining K-quants raise with a clear message.
+
+``keep_q4_0=True`` keeps Q4_0 2D tensors in their native 4-bit grid as
+`Q4Tensor` (int4 values + per-32-block f16 scales) instead of materializing
+float32 — `ModelMixin.from_pretrained(gguf_file=...)` maps those losslessly
+onto the TPU int4 weight-only path (`kernel` s4 + `kernel_scale_int4`),
+the exact-grid analogue of the reference's GGUF dequant-on-the-fly
+(`quantizers/gguf/utils.py`).
 """
 
 from __future__ import annotations
@@ -35,7 +42,8 @@ GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0, GGML_Q8_1 = 8, 9
 GGML_BF16 = 30
 
-_K_QUANTS = {10: "Q2_K", 11: "Q3_K", 12: "Q4_K", 13: "Q5_K", 14: "Q6_K", 15: "Q8_K"}
+GGML_Q4_K = 12
+_K_QUANTS = {10: "Q2_K", 11: "Q3_K", 13: "Q5_K", 14: "Q6_K", 15: "Q8_K"}
 
 # (block_elems, block_bytes) per quantized type
 _BLOCK = {
@@ -44,7 +52,24 @@ _BLOCK = {
     GGML_Q5_0: (32, 22),
     GGML_Q5_1: (32, 24),
     GGML_Q8_0: (32, 34),
+    GGML_Q4_K: (256, 144),  # super-block: 2xf16 + 12B 6-bit scales/mins + 128B nibbles
 }
+
+
+class Q4Tensor:
+    """Native-grid Q4_0 payload: ``q`` int4 values (ml_dtypes.int4, torch
+    [out, in] orientation, = nibble-8) and ``scales`` f32 [out, in/32]."""
+
+    def __init__(self, q: np.ndarray, scales: np.ndarray, shape: Tuple[int, ...]):
+        self.q = q.reshape(shape)
+        self.scales = scales
+        self.shape = shape
+        self.ndim = len(shape)
+
+    def dequantize(self) -> np.ndarray:
+        out, in_dim = self.shape
+        qf = self.q.astype(np.float32).reshape(out, in_dim // 32, 32)
+        return (qf * self.scales[..., None]).reshape(self.shape)
 
 _METADATA_FMT = {0: "B", 1: "b", 2: "<H", 3: "<h", 4: "<I", 5: "<i", 6: "<f", 10: "<Q", 11: "<q", 12: "<d"}
 
@@ -115,12 +140,53 @@ def _dequant(data: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
         else:
             out = d * q.astype(np.float32) + m
         return out.reshape(-1)[:n_elems]
+    if ggml_type == GGML_Q4_K:
+        # super-block of 256: y[64j+l] = d*sc[2j]*(q&0xF) - dmin*m[2j] (low
+        # nibbles), next 32 from high nibbles with sc[2j+1]/m[2j+1]
+        # (llama.cpp dequantize_row_q4_K + get_scale_min_k4)
+        blocks = data.reshape(-1, 144)
+        d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)  # [NB, 1]
+        dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+        sm = blocks[:, 4:16].astype(np.uint8)  # [NB, 12] packed 6-bit scales/mins
+        qs = blocks[:, 16:]  # [NB, 128]
+        sc = np.empty((blocks.shape[0], 8), np.float32)
+        mn = np.empty((blocks.shape[0], 8), np.float32)
+        for j in range(8):
+            if j < 4:
+                sc[:, j] = (sm[:, j] & 63).astype(np.float32)
+                mn[:, j] = (sm[:, j + 4] & 63).astype(np.float32)
+            else:
+                sc[:, j] = ((sm[:, j + 4] & 0x0F) | ((sm[:, j - 4] >> 6) << 4)).astype(np.float32)
+                mn[:, j] = ((sm[:, j + 4] >> 4) | ((sm[:, j] >> 6) << 4)).astype(np.float32)
+        lo = (qs & 0x0F).astype(np.float32).reshape(-1, 4, 32)  # [NB, chunk j, 32]
+        hi = (qs >> 4).astype(np.float32).reshape(-1, 4, 32)
+        # group index for lo-chunk j is 2j, for hi-chunk j is 2j+1
+        y = np.empty((blocks.shape[0], 8, 32), np.float32)
+        y[:, 0::2] = d[:, :, None] * sc[:, 0::2][..., None] * lo - dmin[:, :, None] * mn[:, 0::2][..., None]
+        y[:, 1::2] = d[:, :, None] * sc[:, 1::2][..., None] * hi - dmin[:, :, None] * mn[:, 1::2][..., None]
+        return y.reshape(-1)[:n_elems]
     raise ValueError(f"unhandled ggml type {ggml_type}")
 
 
-def load_gguf_checkpoint(path: str, return_metadata: bool = False):
+def _q4_0_native(data: np.ndarray, shape: Tuple[int, ...]) -> Q4Tensor:
+    """Q4_0 blocks → Q4Tensor keeping the exact 4-bit grid (q-8 values in
+    [-8, 7], per-block f16 scale widened to f32)."""
+    import ml_dtypes
+
+    blocks = data.reshape(-1, 18)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)  # [NB]
+    qs = blocks[:, 2:]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(ml_dtypes.int4)  # [NB, 32]
+    out, in_dim = shape
+    return Q4Tensor(q.reshape(out, in_dim), d.reshape(out, in_dim // 32), shape)
+
+
+def load_gguf_checkpoint(path: str, return_metadata: bool = False, keep_q4_0: bool = False):
     """Parse a .gguf file → dict[name, float32/float16 np.ndarray]
-    (+ metadata dict when requested)."""
+    (+ metadata dict when requested). With ``keep_q4_0``, 2D Q4_0 tensors
+    whose row length divides 32 stay native-grid `Q4Tensor`s."""
     with open(path, "rb") as f:
         if f.read(4) != GGUF_MAGIC:
             raise ValueError(f"{path} is not a GGUF file")
@@ -164,11 +230,15 @@ def load_gguf_checkpoint(path: str, return_metadata: bool = False):
                 be, bb = _BLOCK[ggml_type]
                 n_blocks = (n_elems + be - 1) // be
                 raw = np.frombuffer(f.read(n_blocks * bb), dtype=np.uint8)
+                if (keep_q4_0 and ggml_type == GGML_Q4_0 and len(shape) == 2
+                        and shape[-1] % 32 == 0):
+                    tensors[name] = _q4_0_native(raw, shape)
+                    continue
                 arr = _dequant(raw, ggml_type, n_elems)
             elif ggml_type in _K_QUANTS:
                 raise NotImplementedError(
                     f"GGUF tensor {name!r} uses {_K_QUANTS[ggml_type]} (K-quant); "
-                    "supported types: F32/F16/BF16/Q8_0/Q4_0/Q4_1/Q5_0/Q5_1"
+                    "supported types: F32/F16/BF16/Q8_0/Q4_0/Q4_1/Q5_0/Q5_1/Q4_K"
                 )
             else:
                 raise ValueError(f"GGUF tensor {name!r}: unknown ggml type {ggml_type}")
@@ -208,9 +278,29 @@ def quantize_q8_0(arr: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_q4_0(arr: np.ndarray) -> np.ndarray:
+    """float array → Q4_0 block bytes (32-elem blocks: f16 scale + 16 nibble
+    bytes; ggml convention d = max/-8, q = x/d + 8 in [0, 15])."""
+    flat = arr.astype(np.float32).reshape(-1)
+    pad = (-flat.size) % 32
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.float32)])
+    blocks = flat.reshape(-1, 32)
+    # ggml picks the signed extreme so that extreme/d = -8
+    amax_idx = np.argmax(np.abs(blocks), axis=1)
+    ext = blocks[np.arange(blocks.shape[0]), amax_idx]
+    d = ext / -8.0
+    d = np.where(np.abs(d) < 1e-12, 1e-12, d).astype(np.float16).astype(np.float32)
+    q = np.clip(np.round(blocks / d[:, None]) + 8, 0, 15).astype(np.uint8)
+    out = np.empty((blocks.shape[0], 18), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)  # low nibbles first 16, high next 16
+    return out.reshape(-1)
+
+
 def save_gguf(path: str, tensors: Dict[str, np.ndarray], metadata: Dict[str, str] | None = None, quantize: str | None = None):
-    """Write a GGUF v3 file (F32/F16 passthrough, optional Q8_0 quantization
-    of 2D+ tensors). Round-trip partner of `load_gguf_checkpoint`."""
+    """Write a GGUF v3 file (F32/F16 passthrough, optional Q8_0/Q4_0
+    quantization of 2D+ tensors). Round-trip partner of `load_gguf_checkpoint`."""
     metadata = dict(metadata or {})
     alignment = 32
     metadata_items = [("general.alignment", 4, alignment)] + [(k, 8, v) for k, v in metadata.items()]
@@ -220,6 +310,8 @@ def save_gguf(path: str, tensors: Dict[str, np.ndarray], metadata: Dict[str, str
         arr = np.asarray(arr)
         if quantize == "q8_0" and arr.ndim >= 2 and arr.size % 32 == 0:
             entries.append((name, arr.shape, GGML_Q8_0, quantize_q8_0(arr).tobytes()))
+        elif quantize == "q4_0" and arr.ndim >= 2 and arr.size % 32 == 0:
+            entries.append((name, arr.shape, GGML_Q4_0, quantize_q4_0(arr).tobytes()))
         else:
             if arr.dtype not in _NUMPY_TO_GGML:
                 arr = arr.astype(np.float32)

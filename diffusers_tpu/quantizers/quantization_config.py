@@ -41,6 +41,24 @@ class Fp8WeightOnlyConfig(QuantizationConfig):
 
 
 @dataclass
+class Int4WeightOnlyConfig(QuantizationConfig):
+    """Group-wise symmetric int4 weights (native XLA s4 storage: 2 packed per
+    byte in HBM), bf16 compute — the dequant (convert + per-group scale
+    multiply) fuses into the consuming matmul. TPU-native analogue of the
+    reference's bnb-NF4 (`quantizers/bitsandbytes/bnb_quantizer.py`) and GGUF
+    Q4 dequant-on-the-fly (`quantizers/gguf/utils.py`): quarters weight HBM
+    (Flux 11.9B: ~24 GB bf16 → ~6 GB), which is what fits >=24 GB models on a
+    16 GB v5e.
+
+    ``group_size`` is the input-dimension block that shares one scale
+    (per-[group, out_channel]); kernels whose input dim doesn't divide it fall
+    back to one group spanning the whole input dim."""
+
+    quant_method = "int4_weight_only"
+    group_size: int = 128
+
+
+@dataclass
 class Int8DynamicActConfig(QuantizationConfig):
     """w8a8: int8 weights + dynamic per-row int8 activation quantization,
     computed on the MXU's int8 path (2× bf16 peak) via the fused Pallas kernel

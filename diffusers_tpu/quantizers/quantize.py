@@ -18,6 +18,7 @@ import numpy as np
 from ..utils import logging
 from .quantization_config import (
     Fp8WeightOnlyConfig,
+    Int4WeightOnlyConfig,
     Int8DynamicActConfig,
     Int8WeightOnlyConfig,
     QuantizationConfig,
@@ -34,6 +35,20 @@ def _quantize_kernel_int8(kernel: jax.Array):
     scale = absmax / 127.0
     q = jnp.clip(jnp.round(k / scale[None, :]), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _quantize_kernel_int4(kernel: jax.Array, group_size: int):
+    """[in, out] → s4 kernel + per-[group, out] scale. Groups run along the
+    input (contraction) dim; when `in` doesn't divide group_size, one group
+    spans the whole input dim (per-output-channel scaling)."""
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    in_dim, out_dim = k.shape
+    g = group_size if in_dim % group_size == 0 else in_dim
+    kg = k.reshape(in_dim // g, g, out_dim)
+    absmax = jnp.maximum(jnp.max(jnp.abs(kg), axis=1), 1e-8)  # [groups, out]
+    scale = absmax / 7.0
+    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7).astype(jnp.int4)
+    return q.reshape(in_dim, out_dim), scale
 
 
 def _quantize_kernel_fp8(kernel: jax.Array):
@@ -86,6 +101,8 @@ def _quantize_params_traced(params, config: QuantizationConfig, path: str = ""):
     if isinstance(params, dict):
         kernel = params.get("kernel")
         is_leaf = kernel is not None and not isinstance(kernel, dict)
+        if is_leaf and any(k.startswith("kernel_scale") for k in params):
+            return params  # already quantized (e.g. native GGUF Q4_0 import)
         # a Linear leaf-dict has a 2D "kernel"; Conv2d/Conv3d are 4/5-D HWIO
         if is_leaf and kernel.ndim == 2:
             skip = any(m in path for m in config.modules_to_not_convert)
@@ -104,6 +121,9 @@ def _quantize_params_traced(params, config: QuantizationConfig, path: str = ""):
                     # marks the int8-compute path in Linear (Pallas per-row vs
                     # XLA-native per-tensor, see Int8DynamicActConfig.impl)
                     scale_key = "kernel_scale_i8x" if getattr(config, "impl", "pallas") == "xla" else "kernel_scale_w8a8"
+                elif isinstance(config, Int4WeightOnlyConfig):
+                    q, scale = _quantize_kernel_int4(kernel, config.group_size)
+                    scale_key = "kernel_scale_int4"
                 elif isinstance(config, Int8WeightOnlyConfig):
                     q, scale = _quantize_kernel_int8(kernel)
                 elif isinstance(config, Fp8WeightOnlyConfig):
@@ -136,6 +156,11 @@ def _quantize_params_traced(params, config: QuantizationConfig, path: str = ""):
 def dequantize_params(params):
     """Materialize quantized kernels back to float (for save/inspection)."""
     if isinstance(params, dict):
+        if "kernel_scale_int4" in params:
+            new = dict(params)
+            new["kernel"] = dequantize_int4(params["kernel"], params["kernel_scale_int4"], jnp.float32)
+            del new["kernel_scale_int4"]
+            return new
         scale_key = next(
             (k for k in ("kernel_scale", "kernel_scale_w8a8", "kernel_scale_i8x") if k in params), None
         )
@@ -148,6 +173,16 @@ def dequantize_params(params):
             return new
         return {k: dequantize_params(v) if isinstance(v, dict) else v for k, v in params.items()}
     return params
+
+
+def dequantize_int4(kernel: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """s4 [in, out] + scale [groups, out] → float [in, out]; the convert +
+    group-broadcast multiply fuse into the consuming matmul under jit."""
+    in_dim, out_dim = kernel.shape
+    groups = scale.shape[0]
+    g = in_dim // groups
+    w = kernel.astype(dtype).reshape(groups, g, out_dim) * scale[:, None, :].astype(dtype)
+    return w.reshape(in_dim, out_dim)
 
 
 def maybe_quantize(params, quantization_config):

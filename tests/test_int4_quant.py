@@ -1,0 +1,170 @@
+"""int4 weight-only quantization (VERDICT r4 #3): group-wise s4 weights with
+fused dequant, the TPU-native analogue of the reference's bnb-NF4
+(`/root/reference/src/diffusers/quantizers/bitsandbytes/bnb_quantizer.py`) and
+GGUF Q4 dequant-on-the-fly (`quantizers/gguf/utils.py`)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusers_tpu.quantizers.quantization_config import Int4WeightOnlyConfig
+from diffusers_tpu.quantizers.quantize import dequantize_params, quantize_params
+
+
+def _rand_params(shape=(256, 512), seed=0):
+    k = jax.random.PRNGKey(seed)
+    return {"kernel": jax.random.normal(k, shape, jnp.float32) * 0.02,
+            "bias": jnp.zeros((shape[1],), jnp.float32)}
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_int4_quantize_layout_and_storage():
+    p = {"layer": _rand_params()}
+    q = quantize_params(p, Int4WeightOnlyConfig(group_size=128, min_weight_size=0))
+    leaf = q["layer"]
+    assert leaf["kernel"].dtype == jnp.int4
+    assert leaf["kernel"].shape == (256, 512)
+    assert leaf["kernel_scale_int4"].shape == (2, 512)  # 256/128 groups
+    # HBM footprint: 2 weights per byte (packed s4 on TPU; the CPU backend
+    # stores int4 unpacked at 1 B/elem, so only assert the packing on TPU)
+    if jax.devices()[0].platform.startswith(("tpu", "axon")):
+        assert leaf["kernel"].nbytes == 256 * 512 // 2
+
+
+def test_int4_dequant_roundtrip_quality():
+    p = {"layer": _rand_params()}
+    q = quantize_params(p, Int4WeightOnlyConfig(group_size=64, min_weight_size=0))
+    deq = dequantize_params(q)
+    cos = _cos(p["layer"]["kernel"], deq["layer"]["kernel"])
+    assert cos >= 0.99, cos
+
+
+def test_int4_linear_forward_quality():
+    from diffusers_tpu.ops.module import Linear
+
+    lin = Linear(256, 512)
+    params = lin.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 256), jnp.float32)
+    ref = lin(params, x)
+    qp = quantize_params({"l": params}, Int4WeightOnlyConfig(min_weight_size=0))["l"]
+    out = lin(qp, x)
+    assert _cos(ref, out) >= 0.99
+
+
+def test_int4_non_dividing_input_dim_falls_back_to_one_group():
+    p = {"layer": _rand_params(shape=(200, 128))}  # 200 % 128 != 0
+    q = quantize_params(p, Int4WeightOnlyConfig(group_size=128, min_weight_size=0))
+    assert q["layer"]["kernel_scale_int4"].shape == (1, 128)
+
+
+def test_int4_from_pretrained_stream_load():
+    """Round-trip through save_pretrained → from_pretrained(quantization_config=
+    'int4_weight_only'): the streaming loader host-quantizes per tensor."""
+    from diffusers_tpu.models.transformers.transformer_flux import FluxTransformer2DModel
+
+    model = FluxTransformer2DModel(
+        num_layers=1, num_single_layers=1, attention_head_dim=32, num_attention_heads=2,
+        in_channels=4, joint_attention_dim=32, pooled_projection_dim=16, guidance_embeds=False,
+        axes_dims_rope=(8, 12, 12),
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as d:
+        model.save_pretrained(d, params)
+        m2, qp = FluxTransformer2DModel.from_pretrained(
+            d, quantization_config={"quant_method": "int4_weight_only", "min_weight_size": 1024,
+                                    "group_size": 32},
+        )
+    kernels = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if "kernel_scale_int4" in t:
+                kernels.append(t)
+            for v in t.values():
+                if isinstance(v, dict):
+                    walk(v)
+    walk(qp)
+    assert kernels, "no kernel was int4-quantized on load"
+    assert all(k["kernel"].dtype == jnp.int4 for k in kernels)
+
+    # quantized forward stays close to full-precision
+    rng = np.random.RandomState(0)
+    hidden = jnp.asarray(rng.randn(1, 16, 4), jnp.float32)
+    ehs = jnp.asarray(rng.randn(1, 8, 32), jnp.float32)
+    pooled = jnp.asarray(rng.randn(1, 16), jnp.float32)
+    ids = np.zeros((24, 3), np.float32)
+    rope = model.pos_embed({}, ids)
+    rope = (jnp.asarray(rope[0]), jnp.asarray(rope[1]))
+    kw = dict(encoder_hidden_states=ehs, pooled_projections=pooled,
+              timestep=jnp.full((1,), 0.5), image_rotary_emb=rope)
+    ref = model(params, hidden, **kw).sample
+    out = m2(qp, hidden, **kw).sample
+    assert _cos(ref, out) >= 0.99
+
+
+def test_gguf_q4_0_native_import_exact_grid():
+    """Q4_0 → Q4Tensor → kernel/kernel_scale_int4 must reproduce the GGUF
+    dequant EXACTLY (same 4-bit grid, no re-rounding)."""
+    from diffusers_tpu.quantizers.gguf import (
+        Q4Tensor, load_gguf_checkpoint, save_gguf,
+    )
+
+    rng = np.random.RandomState(0)
+    w = (rng.randn(16, 64) * 0.05).astype(np.float32)  # torch [out, in]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.gguf")
+        save_gguf(path, {"blk.weight": w}, quantize="q4_0")
+        plain = load_gguf_checkpoint(path)["blk.weight"]
+        native = load_gguf_checkpoint(path, keep_q4_0=True)["blk.weight"]
+    assert isinstance(native, Q4Tensor)
+    np.testing.assert_allclose(native.dequantize(), plain, rtol=0, atol=0)
+    # quality of the 4-bit grid itself
+    assert _cos(w, plain) > 0.98
+
+
+def test_gguf_q4_k_dequant():
+    """Q4_K super-block dequantization vs a scalar reference implementation
+    (llama.cpp dequantize_row_q4_K semantics)."""
+    from diffusers_tpu.quantizers.gguf import _dequant, GGML_Q4_K
+
+    rng = np.random.RandomState(1)
+    nb = 3
+    blocks = []
+    expected = []
+    for _ in range(nb):
+        d = np.float16(abs(rng.randn()) * 0.01 + 1e-3)
+        dmin = np.float16(abs(rng.randn()) * 0.005)
+        sm = rng.randint(0, 256, size=12, dtype=np.uint8)
+        qs = rng.randint(0, 256, size=128, dtype=np.uint8)
+        raw = np.concatenate([
+            np.array([d], np.float16).view(np.uint8),
+            np.array([dmin], np.float16).view(np.uint8),
+            sm, qs,
+        ])
+        blocks.append(raw)
+        # scalar reference
+        sc, mn = np.zeros(8), np.zeros(8)
+        for j in range(8):
+            if j < 4:
+                sc[j] = sm[j] & 63
+                mn[j] = sm[j + 4] & 63
+            else:
+                sc[j] = (sm[j + 4] & 0x0F) | ((sm[j - 4] >> 6) << 4)
+                mn[j] = (sm[j + 4] >> 4) | ((sm[j] >> 6) << 4)
+        y = np.zeros(256, np.float32)
+        df, mf = float(d), float(dmin)
+        for j in range(4):
+            q = qs[32 * j:32 * (j + 1)]
+            y[64 * j:64 * j + 32] = df * sc[2 * j] * (q & 0x0F) - mf * mn[2 * j]
+            y[64 * j + 32:64 * j + 64] = df * sc[2 * j + 1] * (q >> 4) - mf * mn[2 * j + 1]
+        expected.append(y)
+    got = _dequant(np.concatenate(blocks), GGML_Q4_K, nb * 256)
+    np.testing.assert_allclose(got, np.concatenate(expected), rtol=1e-6, atol=1e-7)

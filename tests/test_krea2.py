@@ -97,7 +97,7 @@ class DummyQwen3VLTok:
         return {"input_ids": ids, "attention_mask": mask}
 
 
-def test_krea2_pipeline_smoke():
+def get_dummy_pipeline():
     from diffusers_tpu.models.autoencoders.autoencoder_kl_qwenimage import AutoencoderKLQwenImage
     from diffusers_tpu.models.text_encoders.llama import LlamaModel
     from diffusers_tpu.pipelines.krea2 import Krea2Pipeline
@@ -113,7 +113,7 @@ def test_krea2_pipeline_smoke():
         base_dim=16, z_dim=4, dim_mult=[1, 2], num_res_blocks=1, attn_scales=[],
         temperal_downsample=[False], latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
     )
-    pipe = Krea2Pipeline(
+    return Krea2Pipeline(
         transformer=(transformer, transformer.init_params(key)),
         vae=(vae, vae.init_params(key)),
         text_encoder=(te, te.init_params(key)),
@@ -122,6 +122,11 @@ def test_krea2_pipeline_smoke():
         text_encoder_select_layers=(1, 2, 3),
         is_distilled=True,
     )
+
+
+def test_krea2_pipeline_smoke():
+    key = jax.random.PRNGKey(0)
+    pipe = get_dummy_pipeline()
     out = pipe("a glass orb on sand", height=16, width=16, num_inference_steps=2,
                guidance_scale=1.0, key=key, max_sequence_length=48, output_type="np")
     img = np.asarray(out.images)

@@ -101,7 +101,7 @@ def test_mochi_vae_parity():
     assert np.max(np.abs(dec - ref_dec)) < 5e-4, np.max(np.abs(dec - ref_dec))
 
 
-def test_mochi_pipeline_smoke():
+def get_dummy_pipeline():
     from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
     from diffusers_tpu.pipelines.mochi import MochiPipeline
     from diffusers_tpu.schedulers.scheduling_flow_match_euler_discrete import FlowMatchEulerDiscreteScheduler
@@ -130,13 +130,18 @@ def test_mochi_pipeline_smoke():
             return out
 
     sched = FlowMatchEulerDiscreteScheduler()
-    pipe = MochiPipeline(
+    return MochiPipeline(
         scheduler=sched,
         vae=(vae, vae.init_params(key)),
         text_encoder=(te, te.init_params(key)),
         tokenizer=Tok(),
         transformer=(transformer, transformer.init_params(key)),
     )
+
+
+def test_mochi_pipeline_smoke():
+    key = jax.random.PRNGKey(0)
+    pipe = get_dummy_pipeline()
     out = pipe("a capy... a dog swimming", height=16, width=16, num_frames=3,
                num_inference_steps=2, guidance_scale=4.0, key=key, output_type="np")
     assert out.frames.shape[0] == 1 and out.frames.shape[-1] == 3
