@@ -127,13 +127,15 @@ class WNConvTranspose1d(Module):
     input channels); realized as an lhs-dilated correlation with the kernel
     flipped along K."""
 
-    def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0, use_bias=True):
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0, use_bias=True,
+                 output_padding=0):
         super().__init__()
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel_size = kernel_size
         self.stride = stride
         self.padding = padding
+        self.output_padding = output_padding
         self.use_bias = use_bias
 
     def init(self, key, dtype=jnp.float32) -> Params:
@@ -170,11 +172,13 @@ class WNConvTranspose1d(Module):
         norm = jnp.sqrt(jnp.sum(jnp.square(v.astype(jnp.float32)), axis=(0, 2), keepdims=True))
         kernel = (params["weight_g"][None, :, None] * v / norm).astype(x.dtype)
         pad = self.kernel_size - 1 - self.padding
+        # torch output_padding adds rows at the END of the output:
+        # L_out = (L-1)*stride - 2*padding + kernel + output_padding
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=0),
             window_strides=(1,),
-            padding=((pad, pad),),
+            padding=((pad, pad + self.output_padding),),
             lhs_dilation=(self.stride,),
             dimension_numbers=("NHC", "HIO", "NHC"),
         )

@@ -175,8 +175,14 @@ def get_2d_sincos_pos_embed(
 def apply_rotary_emb(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array) -> jax.Array:
     """Rotate pairs (interleaved convention, reference embeddings.py
     apply_rotary_emb with use_real_unbind_dim=-1). x: [..., S, H, D] or
-    [..., S, D]; freqs: [S, D]."""
-    x_f = x.astype(jnp.float32)
+    [..., S, D]; freqs: [S, D].
+
+    bf16 inputs rotate in bf16: the result feeds a bf16 attention kernel
+    immediately, so f32 intermediates only added HBM traffic (measured r5 on
+    the Flux step: the f32 rotate produced ~25 ms/step of layout-thrash
+    copies at seq 4608). f32 inputs keep f32 math (parity tests)."""
+    dt = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    x_f = x.astype(dt)
     x_r = x_f.reshape(*x.shape[:-1], -1, 2)
     x1, x2 = x_r[..., 0], x_r[..., 1]
     x_rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
@@ -187,7 +193,7 @@ def apply_rotary_emb(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array) -
         while freqs_cos.ndim < x.ndim:
             freqs_cos = freqs_cos[None]
             freqs_sin = freqs_sin[None]
-    out = x_f * freqs_cos + x_rot * freqs_sin
+    out = x_f * freqs_cos.astype(dt) + x_rot * freqs_sin.astype(dt)
     return out.astype(x.dtype)
 
 
