@@ -213,27 +213,29 @@ def _zero_tree_from_shapes(shapes, rule):
     """Build a parameter tree of zeros directly from eval_shape results,
     applying `rule(kernel_shape_dtype) -> dict|None` to Linear leaf-dicts
     (None = keep original dtype). Never materializes bf16 at full scale."""
+    def zeros(shape, dtype):
+        return jnp.zeros(shape, dtype)
+
     def build(tree, lead=()):
         if isinstance(tree, dict):
             k = tree.get("kernel")
             if k is not None and not isinstance(k, dict) and len(k.shape) == 2:
                 q = rule(k)
                 if q is not None:
-                    out = {n: jnp.zeros(lead + v.shape, v.dtype) for n, v in tree.items() if n != "kernel"}
+                    out = {n: zeros(lead + v.shape, v.dtype) for n, v in tree.items() if n != "kernel"}
                     for n, v in q.items():
-                        out[n] = jnp.zeros(lead + v.shape, v.dtype) if not isinstance(v, jnp.ndarray) else (
-                            jnp.broadcast_to(v, lead + v.shape) if lead else v)
+                        out[n] = zeros(lead + v.shape, v.dtype)
                     return out
-            return {n: build(v, lead) if isinstance(v, dict) else jnp.zeros(lead + v.shape, v.dtype)
+            return {n: build(v, lead) if isinstance(v, dict) else zeros(lead + v.shape, v.dtype)
                     for n, v in tree.items()}
         return tree
     return build(shapes)
 
 
 def build_t5_xxl_int4():
-    """T5-XXL encoder (4.76B params) with group-wise int4 weights (~2.7 GB
-    HBM incl. scales) — the text tower must co-reside with the 11.9 GB w8a8
-    Flux transformer on one 16 GB v5e."""
+    """T5-XXL encoder (4.76B params) with group-wise int4 weights (nibble-
+    packed int8, ~2.7 GB HBM incl. scales) — the text tower must co-reside
+    with the 11.9 GB w8a8 Flux transformer on one 16 GB v5e."""
     from diffusers_tpu.models.text_encoders.t5 import T5EncoderModel
 
     model = T5EncoderModel(
@@ -251,7 +253,9 @@ def build_t5_xxl_int4():
         if in_dim * out < (1 << 20):
             return None
         g = 128 if in_dim % 128 == 0 else in_dim
-        return {"kernel": _SD((in_dim, out), jnp.int4),
+        # nibble-packed int8 (the repo's at-rest int4 format; the axon client
+        # rejects s4 jit I/O — see quantizers.quantize.pack_int4_rows)
+        return {"kernel": _SD(((in_dim + 1) // 2, out), jnp.int8),
                 "kernel_scale_int4": _SD((in_dim // g, out), jnp.float32)}
 
     return model, _zero_tree_from_shapes(shapes, rule)

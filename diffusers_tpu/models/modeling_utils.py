@@ -224,18 +224,18 @@ def _host_quantize_kernel_int8(k: np.ndarray):
 
 def _host_quantize_kernel_int4(k: np.ndarray, group_size: int):
     """numpy mirror of quantizers.quantize._quantize_kernel_int4: group-wise
-    symmetric s4 kernel + per-[group, out] f32 scale (ml_dtypes int4 array —
-    device_put packs 2/byte in HBM)."""
-    import ml_dtypes
-
+    symmetric nibble-packed int8 kernel + per-[group, out] f32 scale."""
     kf = k.astype(np.float32)
     in_dim, out_dim = kf.shape
     g = group_size if in_dim % group_size == 0 else in_dim
     kg = kf.reshape(in_dim // g, g, out_dim)
     absmax = np.maximum(np.max(np.abs(kg), axis=1), 1e-8)
     scale = (absmax / 7.0).astype(np.float32)
-    q = np.clip(np.round(kg / scale[:, None, :]), -7, 7).astype(ml_dtypes.int4)
-    return q.reshape(in_dim, out_dim), scale
+    q = np.clip(np.round(kg / scale[:, None, :]), -7, 7).astype(np.int8).reshape(in_dim, out_dim)
+    if in_dim % 2:
+        q = np.concatenate([q, np.zeros((1, out_dim), np.int8)], axis=0)
+    packed = (q[0::2] & 0x0F) | ((q[1::2] & 0x0F) << 4)
+    return packed.astype(np.int8), scale
 
 
 def _host_quantize_kernel_fp8(k: np.ndarray):
@@ -494,9 +494,13 @@ class ModelMixin(ConfigMixin):
             for key, q4 in q4_entries.items():
                 leaf, path, pname = _resolve_module(model, key.split("."))
                 if pname == "weight" and isinstance(leaf, Linear):
-                    # torch [out, in] → kernel s4 [in, out]; block scales along
-                    # the input dim → kernel_scale_int4 [in/32, out]
-                    _set_nested(params, path + ["kernel"], jnp.asarray(np.ascontiguousarray(q4.q.T)))
+                    # torch [out, in] → nibble-packed kernel [in/2, out]; block
+                    # scales along the input dim → kernel_scale_int4 [in/32, out]
+                    q = np.ascontiguousarray(q4.q.T).astype(np.int8)
+                    if q.shape[0] % 2:
+                        q = np.concatenate([q, np.zeros((1, q.shape[1]), np.int8)], axis=0)
+                    packed = ((q[0::2] & 0x0F) | ((q[1::2] & 0x0F) << 4)).astype(np.int8)
+                    _set_nested(params, path + ["kernel"], jnp.asarray(packed))
                     _set_nested(params, path + ["kernel_scale_int4"],
                                 jnp.asarray(np.ascontiguousarray(q4.scales.T)))
                 else:  # non-Linear Q4 tensor: materialize float

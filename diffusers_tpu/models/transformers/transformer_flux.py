@@ -332,6 +332,11 @@ class FluxTransformer2DModel(Module, ModelMixin, ConfigMixin):
             }
             return output, new_cache
 
+        # pre-stacked per-block params (leading layer axis, no integer keys)
+        # can ONLY run the scan path — auto-detect so pipelines work with
+        # stream-loaded/stacked weights without threading scan_blocks through
+        if isinstance(params["transformer_blocks"], dict) and 0 not in params["transformer_blocks"]:
+            scan_blocks = True
         if scan_blocks and controlnet_block_samples is None and controlnet_single_block_samples is None:
             # Repeated-block scan (our analogue of the reference's
             # compile_repeated_blocks, modeling_utils.py:1568): lax.scan one

@@ -149,11 +149,13 @@ class Linear(Module):
                 x, kernel, params["kernel_scale_w8a8"], bias=params.get("bias") if self.use_bias else None
             )
         if "kernel_scale_int4" in params:
-            # group-wise int4 weight-only: s4 storage (2/byte in HBM) with the
-            # convert + per-group scale multiply fused into this matmul by XLA
+            # group-wise int4 weight-only: nibble-packed int8 storage
+            # (2 weights/byte in HBM) with unpack + per-group scale multiply
+            # fused into this matmul by XLA
             from ..quantizers.quantize import dequantize_int4
 
-            kernel = dequantize_int4(kernel, params["kernel_scale_int4"], x.dtype)
+            kernel = dequantize_int4(kernel, params["kernel_scale_int4"], x.dtype,
+                                     in_features=self.in_features)
         elif "kernel_scale" in params:  # weight-only quantized (int8/fp8)
             kernel = kernel.astype(x.dtype) * params["kernel_scale"].astype(x.dtype)[None, :]
         y = x @ kernel.astype(x.dtype)

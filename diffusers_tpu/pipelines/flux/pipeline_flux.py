@@ -80,8 +80,8 @@ class FluxPipeline(DiffusionPipeline):
             truncation=True,
             return_tensors="np",
         )
-        out = text_encoder(te_params, jnp.asarray(inputs.input_ids))
-        return out.pooler_output  # [B, D]
+        encode = self._jit("clip_encode", lambda p, ids: text_encoder(p, ids).pooler_output)
+        return encode(te_params, jnp.asarray(inputs.input_ids))  # [B, D]
 
     def _get_t5_prompt_embeds(self, prompt: List[str], max_sequence_length: int = 512):
         text_encoder, te_params = self.text_encoder_2
@@ -92,8 +92,11 @@ class FluxPipeline(DiffusionPipeline):
             truncation=True,
             return_tensors="np",
         )
-        out = text_encoder(te_params, jnp.asarray(inputs.input_ids))
-        return out.last_hidden_state  # [B, S, D]
+        # jitted: one program per encode (eager towers paid per-op dispatch;
+        # also required for int4-quantized T5 params, whose eager ops the
+        # axon backend rejects)
+        encode = self._jit("t5_encode", lambda p, ids: text_encoder(p, ids).last_hidden_state)
+        return encode(te_params, jnp.asarray(inputs.input_ids))  # [B, S, D]
 
     def encode_prompt(self, prompt, prompt_2=None, max_sequence_length: int = 512):
         if isinstance(prompt, str):

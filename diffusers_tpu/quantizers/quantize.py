@@ -37,18 +37,45 @@ def _quantize_kernel_int8(kernel: jax.Array):
     return q, scale
 
 
+def pack_int4_rows(q: jax.Array) -> jax.Array:
+    """[in, out] int values in [-8, 7] → int8 [ceil(in/2), out] with two
+    nibbles per byte (row 2i → low nibble, row 2i+1 → high).
+
+    Nibble-packed int8 is the at-rest int4 format: identical 0.5 B/weight HBM
+    footprint to XLA's s4, but usable on every backend — notably the axon
+    TPU client, which rejects s4 arrays as jit inputs ("Recursively calling
+    jit", measured r5). The unpack (two shifts) fuses into the consuming
+    matmul."""
+    q = q.astype(jnp.int8)
+    in_dim, out_dim = q.shape
+    if in_dim % 2:
+        q = jnp.concatenate([q, jnp.zeros((1, out_dim), jnp.int8)], axis=0)
+    lo = q[0::2] & 0x0F
+    hi = q[1::2] & 0x0F
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4_rows(packed: jax.Array, in_dim: int, dtype) -> jax.Array:
+    """Inverse of pack_int4_rows → float [in_dim, out] nibble values (no
+    scales applied). Sign-extension via left-then-arithmetic-right shifts."""
+    lo = ((packed << 4).astype(jnp.int8) >> 4).astype(dtype)
+    hi = (packed >> 4).astype(dtype)
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * packed.shape[0], packed.shape[1])
+    return w[:in_dim]
+
+
 def _quantize_kernel_int4(kernel: jax.Array, group_size: int):
-    """[in, out] → s4 kernel + per-[group, out] scale. Groups run along the
-    input (contraction) dim; when `in` doesn't divide group_size, one group
-    spans the whole input dim (per-output-channel scaling)."""
+    """[in, out] → nibble-packed int8 kernel [ceil(in/2), out] + per-[group,
+    out] scale. Groups run along the input (contraction) dim; when `in`
+    doesn't divide group_size, one group spans the whole input dim."""
     k = jnp.asarray(kernel, dtype=jnp.float32)
     in_dim, out_dim = k.shape
     g = group_size if in_dim % group_size == 0 else in_dim
     kg = k.reshape(in_dim // g, g, out_dim)
     absmax = jnp.maximum(jnp.max(jnp.abs(kg), axis=1), 1e-8)  # [groups, out]
     scale = absmax / 7.0
-    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7).astype(jnp.int4)
-    return q.reshape(in_dim, out_dim), scale
+    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7).reshape(in_dim, out_dim)
+    return pack_int4_rows(q), scale
 
 
 def _quantize_kernel_fp8(kernel: jax.Array):
@@ -175,13 +202,17 @@ def dequantize_params(params):
     return params
 
 
-def dequantize_int4(kernel: jax.Array, scale: jax.Array, dtype) -> jax.Array:
-    """s4 [in, out] + scale [groups, out] → float [in, out]; the convert +
-    group-broadcast multiply fuse into the consuming matmul under jit."""
-    in_dim, out_dim = kernel.shape
+def dequantize_int4(kernel: jax.Array, scale: jax.Array, dtype,
+                    in_features: Optional[int] = None) -> jax.Array:
+    """nibble-packed int8 [ceil(in/2), out] + scale [groups, out] → float
+    [in, out]; unpack + convert + group-broadcast multiply fuse into the
+    consuming matmul under jit."""
+    out_dim = kernel.shape[1]
+    in_dim = in_features if in_features is not None else 2 * kernel.shape[0]
+    w = unpack_int4_rows(kernel, in_dim, dtype)
     groups = scale.shape[0]
     g = in_dim // groups
-    w = kernel.astype(dtype).reshape(groups, g, out_dim) * scale[:, None, :].astype(dtype)
+    w = w.reshape(groups, g, out_dim) * scale[:, None, :].astype(dtype)
     return w.reshape(in_dim, out_dim)
 
 

@@ -30,13 +30,11 @@ def test_int4_quantize_layout_and_storage():
     p = {"layer": _rand_params()}
     q = quantize_params(p, Int4WeightOnlyConfig(group_size=128, min_weight_size=0))
     leaf = q["layer"]
-    assert leaf["kernel"].dtype == jnp.int4
-    assert leaf["kernel"].shape == (256, 512)
+    # nibble-packed int8: 2 weights per byte on EVERY backend
+    assert leaf["kernel"].dtype == jnp.int8
+    assert leaf["kernel"].shape == (128, 512)
     assert leaf["kernel_scale_int4"].shape == (2, 512)  # 256/128 groups
-    # HBM footprint: 2 weights per byte (packed s4 on TPU; the CPU backend
-    # stores int4 unpacked at 1 B/elem, so only assert the packing on TPU)
-    if jax.devices()[0].platform.startswith(("tpu", "axon")):
-        assert leaf["kernel"].nbytes == 256 * 512 // 2
+    assert leaf["kernel"].nbytes == 256 * 512 // 2
 
 
 def test_int4_dequant_roundtrip_quality():
@@ -93,7 +91,7 @@ def test_int4_from_pretrained_stream_load():
                     walk(v)
     walk(qp)
     assert kernels, "no kernel was int4-quantized on load"
-    assert all(k["kernel"].dtype == jnp.int4 for k in kernels)
+    assert all(k["kernel"].dtype == jnp.int8 for k in kernels)
 
     # quantized forward stays close to full-precision
     rng = np.random.RandomState(0)
