@@ -292,6 +292,9 @@ def bench_flux_e2e(num_steps: int = 28):
     scheduler = FlowMatchEulerDiscreteScheduler(
         use_dynamic_shifting=True, base_shift=0.5, max_shift=1.15, shift=3.0,
     )
+    # tiled decode: the 11.9 GB w8a8 transformer + 2.7 GB int4 T5 leave <1 GB
+    # HBM for activations; full 1024px decode OOMs, 512px tiles fit
+    vae.enable_tiling(tile_sample_min_size=512)
     pipe = FluxPipeline(
         vae=(vae, vae.init_params(key, dtype=jnp.bfloat16)),
         text_encoder=(te1, te1.init_params(key, dtype=jnp.bfloat16)),

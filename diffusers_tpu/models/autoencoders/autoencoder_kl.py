@@ -73,6 +73,20 @@ class AutoencoderKL(Module, ModelMixin, ConfigMixin):
         self.tile_sample_min_size = self.config.sample_size if isinstance(self.config.sample_size, int) else 512
         self.tile_latent_min_size = int(self.tile_sample_min_size / (2 ** (len(block_out_channels) - 1)))
         self.tile_overlap_factor = 0.25
+        self.use_tiling = False
+
+    def enable_tiling(self, tile_sample_min_size: int = None):
+        """Tiled encode/decode (reference autoencoder_kl.py enable_tiling):
+        bounds decode HBM to one tile's working set — e.g. lets the 1024px
+        Flux decode co-reside with an 11.9 GB quantized transformer."""
+        self.use_tiling = True
+        if tile_sample_min_size is not None:
+            self.tile_sample_min_size = tile_sample_min_size
+            self.tile_latent_min_size = int(
+                tile_sample_min_size / (2 ** (len(self.config.block_out_channels) - 1)))
+
+    def disable_tiling(self):
+        self.use_tiling = False
 
     # -------------------------------------------------------------- encode
     def encode(self, params: Params, x: jax.Array, return_dict: bool = True):

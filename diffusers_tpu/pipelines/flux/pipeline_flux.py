@@ -153,15 +153,18 @@ class FluxPipeline(DiffusionPipeline):
 
         def forward(latents, t):
             timestep = jnp.broadcast_to(t, (latents.shape[0],)) / 1000.0
+            # compute in the conditioning dtype (bf16 checkpoints with f32
+            # initial noise would otherwise upcast the whole graph and break
+            # the scan-carry dtype invariant); the scheduler step stays f32
             return transformer(
                 transformer_params,
-                latents,
+                latents.astype(prompt_embeds.dtype),
                 encoder_hidden_states=prompt_embeds,
                 pooled_projections=pooled_prompt_embeds,
                 timestep=timestep,
                 guidance=guidance,
                 image_rotary_emb=(rope_cos, rope_sin),
-            ).sample
+            ).sample.astype(latents.dtype)
 
         from ...hooks.generic_cache import TextKVCacheConfig
 
@@ -438,6 +441,10 @@ class FluxPipeline(DiffusionPipeline):
                 z = z / vae.config.scaling_factor
                 if vae.config.get("shift_factor") is not None:
                     z = z + vae.config.shift_factor
+                if getattr(vae, "use_tiling", False):
+                    # bounds decode HBM to one tile (each tile is its own jit
+                    # of identical shape → one compile)
+                    return vae.tiled_decode(p, z).sample
                 return vae.decode(p, z).sample
 
             image = self._jit("decode", decode)(vae_params, latents)
