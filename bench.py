@@ -275,7 +275,6 @@ def bench_flux_e2e(num_steps: int = 28):
     from diffusers_tpu.schedulers import FlowMatchEulerDiscreteScheduler
 
     key = jax.random.PRNGKey(0)
-    transformer, t_params = build_flux_dev()
     te2, te2_params = build_t5_xxl_int4()
     te1 = CLIPTextModel(  # openai/clip-vit-large-patch14
         vocab_size=49408, hidden_size=768, intermediate_size=3072,
@@ -292,8 +291,8 @@ def bench_flux_e2e(num_steps: int = 28):
     scheduler = FlowMatchEulerDiscreteScheduler(
         use_dynamic_shifting=True, base_shift=0.5, max_shift=1.15, shift=3.0,
     )
-    # tiled decode: the 11.9 GB w8a8 transformer + 2.7 GB int4 T5 leave <1 GB
-    # HBM for activations; full 1024px decode OOMs, 512px tiles fit
+    # tiled decode: the 11.9 GB w8a8 transformer leaves ~3 GB HBM for
+    # activations; full 1024px decode spikes past it, 512px tiles fit
     vae.enable_tiling(tile_sample_min_size=512)
     pipe = FluxPipeline(
         vae=(vae, vae.init_params(key, dtype=jnp.bfloat16)),
@@ -301,12 +300,35 @@ def bench_flux_e2e(num_steps: int = 28):
         text_encoder_2=(te2, te2_params),
         tokenizer=_BenchTokenizer(),
         tokenizer_2=_BenchTokenizer(),
-        transformer=(transformer, t_params),
+        transformer=None,
         scheduler=scheduler,
     )
 
+    # Phase 1 — text encode (timed). One 16 GB v5e cannot co-host the 11.9 GB
+    # w8a8 transformer AND the 2.7 GB int4 T5-XXL with enough activation
+    # headroom, so the bench stages them the way a production server would
+    # (encode, release the text tower, denoise+decode); e2e = sum of phases.
+    prompt = "a cinematic photo of a mountain lake at dawn"
+    prompt_embeds, pooled, _ = pipe.encode_prompt(prompt)  # compile
+    _ = float(jnp.sum(prompt_embeds.astype(jnp.float32)))
+    start = time.perf_counter()
+    for _ in range(3):
+        prompt_embeds, pooled, _ = pipe.encode_prompt(prompt)
+    _ = float(jnp.sum(prompt_embeds.astype(jnp.float32)))
+    encode_s = (time.perf_counter() - start) / 3
+
+    # release the text towers' HBM before the transformer loads
+    pipe.text_encoder = (te1, None)
+    pipe.text_encoder_2 = (te2, None)
+    del te2_params
+    pipe.clear_jit_cache()
+    jax.clear_caches()
+
+    transformer, t_params = build_flux_dev()
+    pipe.transformer = (transformer, t_params)
+
     def call(steps):
-        return pipe("a cinematic photo of a mountain lake at dawn",
+        return pipe(prompt_embeds=prompt_embeds, pooled_prompt_embeds=pooled,
                     height=1024, width=1024, num_inference_steps=steps,
                     guidance_scale=3.5, key=jax.random.PRNGKey(0), output_type="pil").images
 
@@ -315,15 +337,15 @@ def bench_flux_e2e(num_steps: int = 28):
     start = time.perf_counter()
     for _ in range(n_iters):
         _ = call(num_steps)
-    e2e_s = (time.perf_counter() - start) / n_iters
+    denoise_s = (time.perf_counter() - start) / n_iters
 
     _ = call(4)  # compile the short scan
     start = time.perf_counter()
     for _ in range(n_iters):
         _ = call(4)
     short_s = (time.perf_counter() - start) / n_iters
-    per_step_ms = (e2e_s - short_s) / (num_steps - 4) * 1000
-    return e2e_s, per_step_ms
+    per_step_ms = (denoise_s - short_s) / (num_steps - 4) * 1000
+    return encode_s + denoise_s, per_step_ms
 
 
 def bench_flux_step():

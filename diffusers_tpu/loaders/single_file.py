@@ -504,19 +504,203 @@ def load_sd3_transformer_single_file(path_or_state_dict, config_overrides: Optio
 
 
 # ---------------------------------------------------------------------------
+# Wan single-file (reference single_file_utils.py:3172
+# convert_wan_transformer_to_diffusers — base + I2V + VACE rename table;
+# face-adapter/motion-encoder specials are Wan-Animate-only and omitted)
+# ---------------------------------------------------------------------------
+
+_WAN_RENAME = [
+    ("model.diffusion_model.", ""),
+    ("time_embedding.0", "condition_embedder.time_embedder.linear_1"),
+    ("time_embedding.2", "condition_embedder.time_embedder.linear_2"),
+    ("text_embedding.0", "condition_embedder.text_embedder.linear_1"),
+    ("text_embedding.2", "condition_embedder.text_embedder.linear_2"),
+    ("time_projection.1", "condition_embedder.time_proj"),
+    ("cross_attn", "attn2"),
+    ("self_attn", "attn1"),
+    (".o.", ".to_out.0."),
+    (".q.", ".to_q."),
+    (".k.", ".to_k."),
+    (".v.", ".to_v."),
+    (".k_img.", ".add_k_proj."),
+    (".v_img.", ".add_v_proj."),
+    (".norm_k_img.", ".norm_added_k."),
+    ("head.modulation", "scale_shift_table"),
+    ("head.head", "proj_out"),
+    ("modulation", "scale_shift_table"),
+    ("ffn.0", "ffn.net.0.proj"),
+    ("ffn.2", "ffn.net.2"),
+    # norm2 <-> norm3 swap (reference comment "Hack to swap the layer names")
+    ("norm2", "norm__placeholder"),
+    ("norm3", "norm2"),
+    ("norm__placeholder", "norm3"),
+    # I2V
+    ("img_emb.proj.0", "condition_embedder.image_embedder.norm1"),
+    ("img_emb.proj.1", "condition_embedder.image_embedder.ff.net.0.proj"),
+    ("img_emb.proj.3", "condition_embedder.image_embedder.ff.net.2"),
+    ("img_emb.proj.4", "condition_embedder.image_embedder.norm2"),
+    # VACE
+    ("before_proj", "proj_in"),
+    ("after_proj", "proj_out"),
+]
+
+
+def convert_wan_transformer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for key, v in sd.items():
+        new_key = key
+        for old, new in _WAN_RENAME:
+            new_key = new_key.replace(old, new)
+        out[new_key] = v
+    return out
+
+
+def load_wan_transformer_single_file(path_or_state_dict, config_overrides: Optional[dict] = None,
+                                     dtype=None):
+    """Community Wan single-file checkpoint → (WanTransformer3DModel, params);
+    config inferred from the state dict (reference `single_file_utils.py:3172`)."""
+    from ..models.modeling_utils import convert_torch_state_dict
+    from ..models.transformers.transformer_wan import WanTransformer3DModel
+    from ..utils.jax_utils import resolve_dtype
+
+    sd = path_or_state_dict
+    if not isinstance(sd, dict):
+        sd = load_single_file_checkpoint(str(sd))
+    converted = convert_wan_transformer_state_dict(sd)
+    inner_dim = converted["patch_embedding.weight"].shape[0]
+    in_channels = converted["patch_embedding.weight"].shape[1]
+    num_layers = max((int(k.split(".")[1]) for k in converted if k.startswith("blocks.")), default=-1) + 1
+    # qk-norm is across heads ([inner_dim]) so head_dim is not inferable from
+    # the state dict; Wan ships 128 everywhere (override for other configs)
+    head_dim = (config_overrides or {}).get("attention_head_dim", 128)
+    ffn_dim = converted["blocks.0.ffn.net.0.proj.weight"].shape[0]
+    text_dim = converted["condition_embedder.text_embedder.linear_1.weight"].shape[1]
+    out_channels = converted["proj_out.weight"].shape[0] // 4  # patch 1x2x2
+    cfg = dict(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        num_layers=num_layers,
+        attention_head_dim=head_dim,
+        num_attention_heads=inner_dim // head_dim,
+        ffn_dim=ffn_dim,
+        text_dim=text_dim,
+        image_dim=(converted["condition_embedder.image_embedder.ff.net.0.proj.weight"].shape[1]
+                   if any(k.startswith("condition_embedder.image_embedder") for k in converted) else None),
+        added_kv_proj_dim=(inner_dim
+                           if any(".add_k_proj." in k for k in converted) else None),
+    )
+    cfg.update(config_overrides or {})
+    model = WanTransformer3DModel(**cfg)
+    params = convert_torch_state_dict(model, converted, dtype=resolve_dtype(dtype, default=None))
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# LTX-Video single-file (reference single_file_utils.py:2452)
+# ---------------------------------------------------------------------------
+
+_LTX_RENAME = [
+    ("model.diffusion_model.", ""),
+    ("patchify_proj", "proj_in"),
+    ("adaln_single", "time_embed"),
+    ("q_norm", "norm_q"),
+    ("k_norm", "norm_k"),
+]
+
+
+def convert_ltx_transformer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for key, v in sd.items():
+        if "vae" in key:
+            continue
+        new_key = key
+        for old, new in _LTX_RENAME:
+            new_key = new_key.replace(old, new)
+        out[new_key] = v
+    return out
+
+
+def load_ltx_transformer_single_file(path_or_state_dict, config_overrides: Optional[dict] = None,
+                                     dtype=None):
+    """Community LTX-Video single-file checkpoint → (LTXVideoTransformer3DModel,
+    params) (reference `single_file_utils.py:2452`)."""
+    from ..models.modeling_utils import convert_torch_state_dict
+    from ..models.transformers.transformer_ltx import LTXVideoTransformer3DModel
+    from ..utils.jax_utils import resolve_dtype
+
+    sd = path_or_state_dict
+    if not isinstance(sd, dict):
+        sd = load_single_file_checkpoint(str(sd))
+    converted = convert_ltx_transformer_state_dict(sd)
+    inner_dim = converted["proj_in.weight"].shape[0]
+    in_channels = converted["proj_in.weight"].shape[1]
+    num_layers = max((int(k.split(".")[1]) for k in converted
+                      if k.startswith("transformer_blocks.")), default=-1) + 1
+    # qk-norm is across heads; LTX ships head_dim 64 (override otherwise)
+    head_dim = (config_overrides or {}).get("attention_head_dim", 64)
+    caption_channels = converted["caption_projection.linear_1.weight"].shape[1]
+    cross_dim = converted["transformer_blocks.0.attn2.to_k.weight"].shape[1]
+    cfg = dict(
+        in_channels=in_channels,
+        out_channels=in_channels,
+        num_layers=num_layers,
+        attention_head_dim=head_dim,
+        num_attention_heads=inner_dim // head_dim,
+        cross_attention_dim=cross_dim,
+        caption_channels=caption_channels,
+    )
+    cfg.update(config_overrides or {})
+    model = LTXVideoTransformer3DModel(**cfg)
+    params = convert_torch_state_dict(model, converted, dtype=resolve_dtype(dtype, default=None))
+    return model, params
+
+
+# ---------------------------------------------------------------------------
 # checkpoint-type inference (reference single_file_utils.py:62
 # CHECKPOINT_KEY_NAMES + infer_diffusers_model_type, practical subset)
 # ---------------------------------------------------------------------------
 
+def _has_any(*keys):
+    return lambda sd: any(k in sd for k in keys)
+
+
 _CHECKPOINT_SNIFF_KEYS = [
-    # (type, any-of key predicates)
+    # (type, any-of key predicates) — ordered most-specific first, mirroring
+    # the reference's CHECKPOINT_KEY_NAMES (`single_file_utils.py:62-157`)
+    ("flux2", _has_any("model.diffusion_model.single_stream_modulation.lin.weight",
+                       "single_stream_modulation.lin.weight")),
     ("flux", lambda sd: any(k.startswith(("double_blocks.", "model.diffusion_model.double_blocks.")) for k in sd)),
     ("sd3", lambda sd: any(k.startswith(("joint_blocks.", "model.diffusion_model.joint_blocks.")) for k in sd)),
-    ("sdxl_refiner", lambda sd: "conditioner.embedders.0.model.transformer.resblocks.9.mlp.c_proj.bias" in sd),
-    ("sdxl", lambda sd: "conditioner.embedders.1.model.transformer.resblocks.9.mlp.c_proj.bias" in sd),
+    ("sdxl_refiner", _has_any("conditioner.embedders.0.model.transformer.resblocks.9.mlp.c_proj.bias")),
+    ("sdxl", _has_any("conditioner.embedders.1.model.transformer.resblocks.9.mlp.c_proj.bias")),
     ("sd2", lambda sd: "model.diffusion_model.input_blocks.2.1.transformer_blocks.0.attn2.to_k.weight" in sd
         and sd["model.diffusion_model.input_blocks.2.1.transformer_blocks.0.attn2.to_k.weight"].shape[-1] == 1024),
+    ("animatediff", _has_any(
+        "down_blocks.0.motion_modules.0.temporal_transformer.transformer_blocks.0.attention_blocks.0.pos_encoder.pe",
+        "mid_block.motion_modules.0.temporal_transformer.norm.bias")),
     ("controlnet", lambda sd: any(k.startswith("control_model.") for k in sd)),
+    ("auraflow", _has_any("double_layers.0.attn.w2q.weight", "cond_seq_linear.weight")),
+    ("ltx2", _has_any(
+        "model.diffusion_model.av_ca_a2v_gate_adaln_single.emb.timestep_embedder.linear_1.weight",
+        "audio_vae.per_channel_statistics.mean-of-means")),
+    ("ltx_video", _has_any("model.diffusion_model.patchify_proj.weight", "patchify_proj.weight",
+                           "vae.decoder.last_scale_shift_table")),
+    ("hunyuan_video", _has_any("txt_in.individual_token_refiner.blocks.0.adaLN_modulation.1.bias")),
+    ("mochi", _has_any("model.diffusion_model.blocks.0.attn.qkv_x.weight", "blocks.0.attn.qkv_x.weight")),
+    ("lumina2", _has_any("model.diffusion_model.cap_embedder.0.weight", "cap_embedder.0.weight")),
+    ("wan_vace", _has_any("vace_blocks.0.after_proj.bias")),
+    ("wan_animate", _has_any("motion_encoder.dec.direction.weight")),
+    ("wan", _has_any("model.diffusion_model.head.modulation", "head.modulation")),
+    ("wan_vae", _has_any("decoder.middle.0.residual.0.gamma")),
+    ("z_image", _has_any("model.diffusion_model.layers.0.adaLN_modulation.0.weight",
+                         "layers.0.adaLN_modulation.0.weight")),
+    ("hidream", _has_any("double_stream_blocks.0.block.adaLN_modulation.1.bias")),
+    ("sana", _has_any("blocks.0.cross_attn.q_linear.weight", "blocks.0.cross_attn.kv_linear.weight")),
+    ("cosmos", _has_any("net.x_embedder.proj.1.weight")),
+    ("autoencoder_dc", _has_any("decoder.stages.1.op_list.0.main.conv.conv.bias",
+                                "encoder.project_in.conv.bias")),
+    ("instruct_pix2pix", lambda sd: "model.diffusion_model.input_blocks.0.0.weight" in sd
+        and sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1] == 8),
     ("sd1", lambda sd: any(k.startswith("model.diffusion_model.") for k in sd)),
 ]
 
