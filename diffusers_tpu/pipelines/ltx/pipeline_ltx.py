@@ -103,15 +103,49 @@ class LTXPipeline(DiffusionPipeline):
     # ------------------------------------------------------------- denoise
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
+        "FasterCacheConfig",
     )
 
     def _denoise(self, t_params, latents, prompt_embeds, prompt_mask, rope_cos, rope_sin,
-                 timesteps, state, guidance_scale, guidance_rescale, do_cfg):
+                 timesteps, state, guidance_scale, guidance_rescale, do_cfg,
+                 fc_sched=None, latent_grid=None):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         cache_cfg = getattr(self, "_cache_config", None)
+        from ...hooks.faster_cache import FasterCacheConfig, denoise_scan_faster_cache
         from ...hooks.first_block_cache import FirstBlockCacheConfig, init_fbc_single_state
         from ...hooks.generic_cache import denoise_scan
+
+        if isinstance(cache_cfg, FasterCacheConfig) and do_cfg and fc_sched is not None:
+            b = latents.shape[0]
+            uncond_pe, cond_pe = prompt_embeds[:b], prompt_embeds[b:]
+            uncond_m, cond_m = prompt_mask[:b], prompt_mask[b:]
+            f, h, w = latent_grid  # token grid for the frequency split
+            c = latents.shape[-1]
+
+            # rope tables were prepared for the CFG batch (2B); the per-branch
+            # forwards run batch B — the grid is identical per sample
+            r_cos = rope_cos[:b] if rope_cos.ndim > 2 and rope_cos.shape[0] > b else rope_cos
+            r_sin = rope_sin[:b] if rope_sin.ndim > 2 and rope_sin.shape[0] > b else rope_sin
+
+            def fwd_one(lat, t, pe, m):
+                timestep = jnp.broadcast_to(t, (lat.shape[0],))
+                return transformer(t_params, lat, pe, timestep, encoder_attention_mask=m,
+                                   image_rotary_emb=(r_cos, r_sin)).sample.astype(jnp.float32)
+
+            return denoise_scan_faster_cache(
+                lambda lat, t, st: (fwd_one(lat, t, uncond_pe, uncond_m),
+                                    fwd_one(lat, t, cond_pe, cond_m)),
+                lambda lat, t, st: fwd_one(lat, t, cond_pe, cond_m),
+                lambda uncond, cond: uncond + guidance_scale * (cond - uncond),
+                scheduler, latents, state, timesteps, fc_sched,
+                # tokens → [B, C·F, H, W] so the low/high frequency split runs
+                # over the spatial plane (reference hook operates on images)
+                reshape_in=lambda x: jnp.transpose(
+                    x.reshape(x.shape[0], f, h, w, c), (0, 1, 4, 2, 3)).reshape(x.shape[0], f * c, h, w),
+                reshape_out=lambda x: jnp.transpose(
+                    x.reshape(x.shape[0], f, c, h, w), (0, 1, 3, 4, 2)).reshape(x.shape[0], f * h * w, c),
+            )
 
         if isinstance(cache_cfg, FirstBlockCacheConfig):
             b = latents.shape[0] * (2 if do_cfg else 1)
@@ -247,8 +281,16 @@ class LTXPipeline(DiffusionPipeline):
         else:
             state = self.scheduler.set_timesteps(num_inference_steps)
 
+        fc_sched = None
+        if type(getattr(self, "_cache_config", None)).__name__ == "FasterCacheConfig" and do_cfg:
+            from ...hooks.faster_cache import faster_cache_schedules
+
+            fc_sched = faster_cache_schedules(np.asarray(state.timesteps), self._cache_config)
+        latent_grid = (latent_num_frames // pt, latent_height // p, latent_width // p)
         denoise = self._denoise_entry("denoise",
-            lambda *a: self._denoise(*a, guidance_scale, guidance_rescale, do_cfg), callback_on_step_end,
+            lambda *a: self._denoise(*a, guidance_scale, guidance_rescale, do_cfg,
+                                     fc_sched=fc_sched, latent_grid=latent_grid),
+            callback_on_step_end,
             static=(guidance_scale, guidance_rescale, do_cfg))
         latents = denoise(t_params, latents, embeds, mask, rope_cos, rope_sin, state.timesteps, state)
 

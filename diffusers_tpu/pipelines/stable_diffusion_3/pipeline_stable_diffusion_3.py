@@ -100,14 +100,34 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
 
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
+        "FasterCacheConfig",
     )
 
-    def _denoise(self, t_params, latents, prompt_embeds, pooled, timesteps, state, guidance_scale, do_cfg):
+    def _denoise(self, t_params, latents, prompt_embeds, pooled, timesteps, state, guidance_scale,
+                 do_cfg, fc_sched=None):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         cache_cfg = getattr(self, "_cache_config", None)
+        from ...hooks.faster_cache import FasterCacheConfig, denoise_scan_faster_cache
         from ...hooks.first_block_cache import FirstBlockCacheConfig, init_fbc_single_state
         from ...hooks.generic_cache import denoise_scan
+
+        if isinstance(cache_cfg, FasterCacheConfig) and do_cfg and fc_sched is not None:
+            b = latents.shape[0]
+            uncond_embeds, cond_embeds = prompt_embeds[:b], prompt_embeds[b:]
+            uncond_pooled, cond_pooled = pooled[:b], pooled[b:]
+
+            def fwd_one(lat, t, pe, pl):
+                timestep = jnp.broadcast_to(t, (lat.shape[0],))
+                return transformer(t_params, lat, pe, pl, timestep).sample
+
+            return denoise_scan_faster_cache(
+                lambda lat, t, st: (fwd_one(lat, t, uncond_embeds, uncond_pooled),
+                                    fwd_one(lat, t, cond_embeds, cond_pooled)),
+                lambda lat, t, st: fwd_one(lat, t, cond_embeds, cond_pooled),
+                lambda uncond, cond: uncond + guidance_scale * (cond - uncond),
+                scheduler, latents, state, timesteps, fc_sched,
+            )
 
         use_fbc = isinstance(cache_cfg, FirstBlockCacheConfig)
         if use_fbc:
@@ -199,8 +219,14 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
 
         state = self.scheduler.set_timesteps(num_inference_steps)
 
-        denoise = self._denoise_entry("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg), callback_on_step_end,
-                            static=(guidance_scale, do_cfg))
+        fc_sched = None
+        if type(getattr(self, "_cache_config", None)).__name__ == "FasterCacheConfig" and do_cfg:
+            from ...hooks.faster_cache import faster_cache_schedules
+
+            fc_sched = faster_cache_schedules(np.asarray(state.timesteps), self._cache_config)
+        denoise = self._denoise_entry("denoise", partial(self._denoise, guidance_scale=guidance_scale,
+                                                         do_cfg=do_cfg, fc_sched=fc_sched),
+                            callback_on_step_end, static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, pooled, state.timesteps, state)
 
         if output_type == "latent":

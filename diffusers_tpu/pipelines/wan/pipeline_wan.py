@@ -68,13 +68,15 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
 
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
+        "FasterCacheConfig",
     )
 
     def _denoise(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
-                 timesteps, state, guidance_scale, do_cfg):
+                 timesteps, state, guidance_scale, do_cfg, fc_sched=None):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         cache_cfg = getattr(self, "_cache_config", None)
+        from ...hooks.faster_cache import FasterCacheConfig, denoise_scan_faster_cache
         from ...hooks.first_block_cache import FirstBlockCacheConfig
         from ...hooks.generic_cache import denoise_scan
 
@@ -83,19 +85,32 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
                                      rope_cos, rope_sin, timesteps, state, guidance_scale,
                                      do_cfg, cache_cfg)
 
-        def forward(latents, t, sstate):
+        def fwd_one(latents, t, embeds):
             timestep = jnp.broadcast_to(t, (latents.shape[0],))
-            noise_cond = transformer(
-                t_params, latents, timestep, prompt_embeds, rotary_emb=(rope_cos, rope_sin)
-            ).sample
+            return transformer(t_params, latents, timestep, embeds,
+                               rotary_emb=(rope_cos, rope_sin)).sample
+
+        if isinstance(cache_cfg, FasterCacheConfig) and do_cfg and fc_sched is not None:
+            # generic CFG-cache loop (hooks/faster_cache.py
+            # denoise_scan_faster_cache): Wan's CFG is two forwards, so the
+            # pair/cond closures map directly
+            return denoise_scan_faster_cache(
+                lambda lat, t, st: (fwd_one(lat, t, negative_embeds),
+                                    fwd_one(lat, t, prompt_embeds)),
+                lambda lat, t, st: fwd_one(lat, t, prompt_embeds),
+                lambda uncond, cond: uncond + guidance_scale * (cond - uncond),
+                scheduler, latents, state, timesteps, fc_sched,
+            )
+
+        def forward(latents, t, sstate):
+            noise_cond = fwd_one(latents, t, prompt_embeds)
             if do_cfg:
-                noise_uncond = transformer(
-                    t_params, latents, timestep, negative_embeds, rotary_emb=(rope_cos, rope_sin)
-                ).sample
+                noise_uncond = fwd_one(latents, t, negative_embeds)
                 return noise_uncond + guidance_scale * (noise_cond - noise_uncond)
             return noise_cond
 
-        return denoise_scan(forward, scheduler, latents, state, timesteps, cache_cfg)
+        generic_cfg = None if isinstance(cache_cfg, FasterCacheConfig) else cache_cfg
+        return denoise_scan(forward, scheduler, latents, state, timesteps, generic_cfg, pipe=self)
 
     def _denoise_fbc(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
                      timesteps, state, guidance_scale, do_cfg, cache_cfg):
@@ -168,7 +183,20 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
 
         rope_cos, rope_sin = transformer.rope(num_latent_frames, lh, lw)
 
-        denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale, do_cfg=do_cfg),
+        fc_sched = None
+        cache_cfg = getattr(self, "_cache_config", None)
+        if type(cache_cfg).__name__ == "FasterCacheConfig" and do_cfg:
+            from ...hooks.faster_cache import faster_cache_schedules
+
+            # host-precomputed per-step schedule (timesteps are tracers inside
+            # the jitted denoise)
+            try:
+                st = self.scheduler.set_timesteps(num_inference_steps, sample_shape=shape)
+            except TypeError:
+                st = self.scheduler.set_timesteps(num_inference_steps)
+            fc_sched = faster_cache_schedules(np.asarray(st.timesteps), cache_cfg)
+        denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale,
+                                               do_cfg=do_cfg, fc_sched=fc_sched),
                             static=(guidance_scale, do_cfg))
 
         # FreeInit (arXiv:2312.07537): iterative noise reinitialization —

@@ -33,9 +33,29 @@ import pytest
 _REFPARITY_CACHE = {}
 
 
+# smoke tier: config/core + schedulers + one pipeline per archetype (UNet
+# t2i, DiT t2i, video DiT) + LoRA + the Pallas kernel. Measured < 200 s
+# single-CPU (VERDICT r4 #8; reference marker taxonomy tests/conftest.py:33).
+_SMOKE_MODULES = {
+    "test_config.py",
+    "test_scheduler_ddpm.py",
+    "test_scheduler_euler.py",
+    "test_scheduler_flow_match.py",
+    "test_image_processor.py",
+    "test_pipeline_stable_diffusion.py",
+    "test_pipeline_flux.py",
+    "test_pipeline_wan.py",
+    "test_lora.py",
+    "test_flash_attention.py",
+}
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "refparity: parity tests running the torch reference in-process (slow tier)"
+    )
+    config.addinivalue_line(
+        "markers", "smoke: fast core tier — `pytest -m smoke` finishes < 5 min single-CPU"
     )
 
 
@@ -51,3 +71,5 @@ def pytest_collection_modifyitems(config, items):
             _REFPARITY_CACHE[path] = hit
         if hit:
             item.add_marker(pytest.mark.refparity)
+        if pathlib.Path(path).name in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
