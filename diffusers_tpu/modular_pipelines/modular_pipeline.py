@@ -277,8 +277,11 @@ class ComponentsBundle:
 _BLOCK_PACKS = {
     # pipeline _class_name prefix -> block-pack import path
     "StableDiffusionXL": "diffusers_tpu.modular_pipelines.stable_diffusion_xl:SDXL_BLOCKS",
+    "StableDiffusion3": "diffusers_tpu.modular_pipelines.stable_diffusion_3:SD3_BLOCKS",
     "Flux": "diffusers_tpu.modular_pipelines.flux:FLUX_BLOCKS",
     "StableDiffusion": "diffusers_tpu.modular_pipelines.stable_diffusion:SD_BLOCKS",
+    "Wan": "diffusers_tpu.modular_pipelines.wan:WAN_BLOCKS",
+    "QwenImage": "diffusers_tpu.modular_pipelines.qwenimage:QWENIMAGE_BLOCKS",
 }
 
 
