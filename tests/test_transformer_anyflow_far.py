@@ -144,3 +144,34 @@ def test_anyflow_far_clean_context_train_path():
             clean_hidden_states=clean, clean_timestep=ct)
     assert np.asarray(out.sample).shape == (1, 4, 4, 8, 8)
     assert np.isfinite(np.asarray(out.sample)).all()
+
+
+def test_anyflow_far_pipeline_smoke():
+    from diffusers_tpu.models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
+    from diffusers_tpu.models.text_encoders.t5 import UMT5EncoderModel
+    from diffusers_tpu.pipelines.anyflow import AnyFlowFARPipeline
+    from diffusers_tpu.schedulers import FlowMapEulerDiscreteScheduler
+    from tests.test_anyflow import DummyTok
+
+    key = jax.random.PRNGKey(0)
+    transformer = AnyFlowFARTransformer3DModel(**{**TINY, "chunk_partition": (1, 1, 1)})
+    vae = AutoencoderKLWan(
+        base_dim=16, z_dim=4, dim_mult=[1, 2], num_res_blocks=1, attn_scales=[],
+        temperal_downsample=[True, False], latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
+        scale_factor_temporal=2, scale_factor_spatial=2,
+    )
+    te = UMT5EncoderModel(vocab_size=64, d_model=16, d_kv=8, d_ff=32, num_layers=2, num_heads=2)
+    pipe = AnyFlowFARPipeline(
+        tokenizer=DummyTok(), text_encoder=(te, te.init_params(key)),
+        transformer=(transformer, transformer.init_params(key)),
+        vae=(vae, vae.init_params(key)),
+        scheduler=FlowMapEulerDiscreteScheduler(shift=5.0),
+    )
+    # 3 latent frames over 3 chunks with full_chunk_limit=2 -> the last
+    # prefill demotes chunk 0 to the compressed branch
+    out = pipe("a drone flyover", height=16, width=16, num_frames=5,
+               num_inference_steps=2, guidance_scale=2.0, key=key,
+               max_sequence_length=10, output_type="latent")
+    frames = np.asarray(out.frames)
+    assert frames.shape == (1, 3, 4, 8, 8)
+    assert np.isfinite(frames).all()
