@@ -128,36 +128,44 @@ class UNetMidBlock2DCrossAttn(Module):
         resnet_time_scale_shift: str = "default",
         resnet_act_fn: str = "swish",
         resnet_groups: int = 32,
+        resnet_groups_out: Optional[int] = None,
         num_attention_heads: int = 1,
         cross_attention_dim: int = 1280,
         output_scale_factor: float = 1.0,
         use_linear_projection: bool = False,
+        out_channels: Optional[int] = None,
     ):
         super().__init__()
         tl = _per_layer(transformer_layers_per_block, num_layers)
+        # reference unet_2d_blocks.py:756 — out_channels defaults to
+        # in_channels; only the first resnet changes the channel count
+        # (used by ControlNet-XS's concat-input ctrl midblock)
+        out_channels = out_channels or in_channels
+        resnet_groups_out = resnet_groups_out or resnet_groups
 
-        def make_resnet():
+        def make_resnet(first: bool):
             return ResnetBlock2D(
-                in_channels=in_channels,
-                out_channels=in_channels,
+                in_channels=in_channels if first else out_channels,
+                out_channels=out_channels,
                 temb_channels=temb_channels,
                 eps=resnet_eps,
-                groups=resnet_groups,
+                groups=resnet_groups if first else resnet_groups_out,
+                groups_out=resnet_groups_out,
                 time_embedding_norm=resnet_time_scale_shift,
                 non_linearity=resnet_act_fn,
                 output_scale_factor=output_scale_factor,
             )
 
-        self.resnets = ModuleList([make_resnet() for _ in range(num_layers + 1)])
+        self.resnets = ModuleList([make_resnet(i == 0) for i in range(num_layers + 1)])
         self.attentions = ModuleList(
             [
                 Transformer2DModel(
                     num_attention_heads,
-                    in_channels // num_attention_heads,
-                    in_channels=in_channels,
+                    out_channels // num_attention_heads,
+                    in_channels=out_channels,
                     num_layers=tl[i],
                     cross_attention_dim=cross_attention_dim,
-                    norm_num_groups=resnet_groups,
+                    norm_num_groups=resnet_groups_out,
                     use_linear_projection=use_linear_projection,
                 )
                 for i in range(num_layers)
