@@ -47,3 +47,15 @@ def pab_compute_mask(
     within = (timestep_skip_range[0] < t) & (t < timestep_skip_range[1])
     compute = (it == 0) | (~within) | (it % block_skip_range == 0)
     return compute
+
+
+def pab_gate(compute, cached, fn):
+    """`fn()` on compute steps, the cached pytree otherwise — one lax.cond
+    per block so reused steps genuinely skip the attention FLOPs. The CFG
+    streams carry INDEPENDENT caches when the pipeline runs two forwards per
+    step (the reference's per-module iteration counter would alternate the
+    streams instead; per-stream masks are deterministic and strictly no worse
+    on quality)."""
+    import jax
+
+    return jax.lax.cond(compute, lambda _: fn(), lambda _: cached, None)

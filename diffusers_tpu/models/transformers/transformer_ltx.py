@@ -210,6 +210,7 @@ class LTXVideoTransformerBlock(Module):
         temb: jax.Array,  # [B, T, 6*dim] (T=1 or per-token)
         image_rotary_emb=None,
         encoder_attention_mask: Optional[jax.Array] = None,
+        pab=None,
     ) -> jax.Array:
         b = hidden_states.shape[0]
         ada = params["scale_shift_table"][None, None].astype(jnp.float32) + temb.reshape(
@@ -221,7 +222,18 @@ class LTXVideoTransformerBlock(Module):
 
         norm_hidden = self.norm1({}, hidden_states)
         norm_hidden = norm_hidden * (1 + scale_msa) + shift_msa
-        attn_out = self.attn1(params["attn1"], norm_hidden, image_rotary_emb=image_rotary_emb)
+        if pab is None:
+            attn_out = self.attn1(params["attn1"], norm_hidden, image_rotary_emb=image_rotary_emb)
+        else:
+            # PAB: reuse the cached self-attention output on broadcast steps
+            # (hooks/pyramid_attention_broadcast.py)
+            from ...hooks.pyramid_attention_broadcast import pab_gate
+
+            compute, cached = pab
+            attn_out = pab_gate(
+                compute, cached,
+                lambda: self.attn1(params["attn1"], norm_hidden, image_rotary_emb=image_rotary_emb))
+        new_pab = attn_out if pab is not None else None
         hidden_states = hidden_states + attn_out * gate_msa
 
         attn_out = self.attn2(
@@ -231,6 +243,8 @@ class LTXVideoTransformerBlock(Module):
         hidden_states = hidden_states + attn_out
         norm_hidden = self.norm2({}, hidden_states) * (1 + scale_mlp) + shift_mlp
         hidden_states = hidden_states + self.ff(params["ff"], norm_hidden) * gate_mlp
+        if pab is not None:
+            return hidden_states, new_pab
         return hidden_states
 
 
@@ -306,6 +320,8 @@ class LTXVideoTransformer3DModel(Module, ModelMixin, ConfigMixin):
         scan_blocks: bool = False,
         fbc_state=None,
         fbc_config=None,
+        pab_compute=None,
+        pab_cache=None,
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         batch_size = hidden_states.shape[0]
@@ -378,6 +394,14 @@ class LTXVideoTransformer3DModel(Module, ModelMixin, ConfigMixin):
                 return hidden, None
 
             hidden_states, _ = jax.lax.scan(body, hidden_states, stack)
+        elif pab_cache is not None:
+            new_pab_cache = {}
+            for i, block in enumerate(self.transformer_blocks):
+                hidden_states, new_pab_cache[i] = block(
+                    params["transformer_blocks"][i], hidden_states, encoder_hidden_states,
+                    temb, image_rotary_emb, encoder_attention_mask,
+                    pab=(pab_compute, pab_cache[i]),
+                )
         else:
             for i, block in enumerate(self.transformer_blocks):
                 hidden_states = block(
@@ -402,6 +426,17 @@ class LTXVideoTransformer3DModel(Module, ModelMixin, ConfigMixin):
             if not return_dict:
                 return (output, fbc_state)
             return Transformer2DModelOutput(sample=output), fbc_state
+        if pab_cache is not None:
+            if not return_dict:
+                return (output, new_pab_cache)
+            return Transformer2DModelOutput(sample=output), new_pab_cache
         if not return_dict:
             return (output,)
         return Transformer2DModelOutput(sample=output)
+
+    def init_pab_cache(self, batch_size: int, tokens: int, dtype=jnp.float32):
+        """Zero per-block self-attention caches for PAB (step 0 always
+        computes, so zeros are never consumed)."""
+        dim = self.config.num_attention_heads * self.config.attention_head_dim
+        return {i: jnp.zeros((batch_size, tokens, dim), dtype)
+                for i in range(len(self.transformer_blocks))}

@@ -180,8 +180,10 @@ class JointTransformerBlock(Module):
     # SD3.5 SLG recipe). See guiders/skip_layer_guidance.py.
     layer_skip: bool = False
 
-    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb):
+    def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, pab=None):
         if self.layer_skip:
+            if pab is not None:
+                return hidden_states, encoder_hidden_states, pab[1]
             return hidden_states, encoder_hidden_states
         if self.use_dual_attention:
             norm_hidden, gate_msa, shift_mlp, scale_mlp, gate_mlp, norm_hidden2, gate_msa2 = self.norm1(
@@ -197,11 +199,34 @@ class JointTransformerBlock(Module):
                 params["norm1_context"], encoder_hidden_states, emb=temb
             )
 
-        attn_output, context_attn_output = self.attn(params["attn"], norm_hidden, norm_context)
+        new_pab = None
+        if pab is None:
+            attn_output, context_attn_output = self.attn(params["attn"], norm_hidden, norm_context)
+            if self.use_dual_attention:
+                attn_output2 = self.attn2(params["attn2"], norm_hidden2)
+        else:
+            # PAB: recompute the (joint) attention only on compute steps
+            # (hooks/pyramid_attention_broadcast.py); the MLPs always run
+            from ...hooks.pyramid_attention_broadcast import pab_gate
+
+            compute, cached = pab
+
+            def _compute_attn():
+                a, c = self.attn(params["attn"], norm_hidden, norm_context)
+                entry = {"attn": a}
+                if not self.context_pre_only:
+                    entry["ctx"] = c
+                if self.use_dual_attention:
+                    entry["attn2"] = self.attn2(params["attn2"], norm_hidden2)
+                return entry
+
+            new_pab = pab_gate(compute, cached, _compute_attn)
+            attn_output = new_pab["attn"]
+            context_attn_output = new_pab.get("ctx")
+            attn_output2 = new_pab.get("attn2")
         hidden_states = hidden_states + gate_msa[:, None] * attn_output
 
         if self.use_dual_attention:
-            attn_output2 = self.attn2(params["attn2"], norm_hidden2)
             hidden_states = hidden_states + gate_msa2[:, None] * attn_output2
 
         norm_hidden = self.norm2({}, hidden_states)
@@ -209,6 +234,8 @@ class JointTransformerBlock(Module):
         hidden_states = hidden_states + gate_mlp[:, None] * self.ff(params["ff"], norm_hidden)
 
         if self.context_pre_only:
+            if pab is not None:
+                return hidden_states, None, new_pab
             return hidden_states, None
         encoder_hidden_states = encoder_hidden_states + c_gate_msa[:, None] * context_attn_output
         norm_context = self.norm2_context({}, encoder_hidden_states)
@@ -216,6 +243,8 @@ class JointTransformerBlock(Module):
         encoder_hidden_states = encoder_hidden_states + c_gate_mlp[:, None] * self.ff_context(
             params["ff_context"], norm_context
         )
+        if pab is not None:
+            return hidden_states, encoder_hidden_states, new_pab
         return hidden_states, encoder_hidden_states
 
 
@@ -279,6 +308,8 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
         block_controlnet_hidden_states: Optional[list] = None,
         fbc_state=None,
         fbc_config=None,
+        pab_compute=None,
+        pab_cache=None,
         return_dict: bool = True,
     ) -> Union[Transformer2DModelOutput, tuple]:
         height, width = hidden_states.shape[-2], hidden_states.shape[-1]
@@ -312,10 +343,17 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
                 fbc_state, fbc_config, hidden_states - first_in, hidden_states, tail
             )
         else:
+            new_pab_cache = {} if pab_cache is not None else None
             for i, block in enumerate(self.transformer_blocks):
-                hidden_states, new_context = block(
-                    params["transformer_blocks"][i], hidden_states, encoder_hidden_states, temb
-                )
+                if pab_cache is not None:
+                    hidden_states, new_context, new_pab_cache[i] = block(
+                        params["transformer_blocks"][i], hidden_states, encoder_hidden_states,
+                        temb, pab=(pab_compute, pab_cache[i])
+                    )
+                else:
+                    hidden_states, new_context = block(
+                        params["transformer_blocks"][i], hidden_states, encoder_hidden_states, temb
+                    )
                 if new_context is not None:
                     encoder_hidden_states = new_context
                 # controlnet residual (reference transformer_sd3.py:324-326)
@@ -336,6 +374,24 @@ class SD3Transformer2DModel(Module, ModelMixin, ConfigMixin):
             if not return_dict:
                 return (output, fbc_state)
             return Transformer2DModelOutput(sample=output), fbc_state
+        if pab_cache is not None:
+            if not return_dict:
+                return (output, new_pab_cache)
+            return Transformer2DModelOutput(sample=output), new_pab_cache
         if not return_dict:
             return (output,)
         return Transformer2DModelOutput(sample=output)
+
+    def init_pab_cache(self, batch_size: int, image_tokens: int, text_tokens: int,
+                       dtype=jnp.float32):
+        """Zero per-block attention caches for PAB (the step-0 mask always
+        computes, so zeros are never consumed)."""
+        cache = {}
+        for i, block in enumerate(self.transformer_blocks):
+            entry = {"attn": jnp.zeros((batch_size, image_tokens, self.inner_dim), dtype)}
+            if not block.context_pre_only:
+                entry["ctx"] = jnp.zeros((batch_size, text_tokens, self.inner_dim), dtype)
+            if block.use_dual_attention:
+                entry["attn2"] = jnp.zeros((batch_size, image_tokens, self.inner_dim), dtype)
+            cache[i] = entry
+        return cache

@@ -223,7 +223,7 @@ class WanTransformerBlock(Module):
         return params
 
     def __call__(self, params: Params, hidden_states, encoder_hidden_states, temb, rotary_emb,
-                 attention_mask=None):
+                 attention_mask=None, pab=None):
         if temb.ndim == 3:  # [B, 6, D]
             mods = params["scale_shift_table"].astype(jnp.float32) + temb.astype(jnp.float32)
             shift_msa, scale_msa, gate_msa, c_shift_msa, c_scale_msa, c_gate_msa = [
@@ -237,7 +237,19 @@ class WanTransformerBlock(Module):
         dtype = hidden_states.dtype
 
         norm_h = (self.norm1({}, hidden_states.astype(jnp.float32)) * (1 + scale_msa) + shift_msa).astype(dtype)
-        attn_out = self.attn1(params["attn1"], norm_h, None, rotary_emb, attention_mask=attention_mask)
+        if pab is None:
+            attn_out = self.attn1(params["attn1"], norm_h, None, rotary_emb, attention_mask=attention_mask)
+        else:
+            # PAB: reuse the cached self-attention output on broadcast steps
+            # (hooks/pyramid_attention_broadcast.py)
+            from ...hooks.pyramid_attention_broadcast import pab_gate
+
+            compute, cached = pab
+            attn_out = pab_gate(
+                compute, cached,
+                lambda: self.attn1(params["attn1"], norm_h, None, rotary_emb,
+                                   attention_mask=attention_mask))
+        new_pab = attn_out if pab is not None else None
         hidden_states = (hidden_states.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa).astype(dtype)
 
         if self.cross_attn_norm:
@@ -250,6 +262,8 @@ class WanTransformerBlock(Module):
         norm_h = (self.norm3({}, hidden_states.astype(jnp.float32)) * (1 + c_scale_msa) + c_shift_msa).astype(dtype)
         ff_out = self.ffn(params["ffn"], norm_h)
         hidden_states = (hidden_states.astype(jnp.float32) + ff_out.astype(jnp.float32) * c_gate_msa).astype(dtype)
+        if pab is not None:
+            return hidden_states, new_pab
         return hidden_states
 
 
@@ -316,6 +330,8 @@ class WanTransformer3DModel(Module, ModelMixin, ConfigMixin):
         rotary_emb: Optional[Tuple[jax.Array, jax.Array]] = None,
         fbc_state=None,
         fbc_config=None,
+        pab_compute=None,
+        pab_cache=None,
         return_dict: bool = True,
     ) -> Union[Transformer3DModelOutput, tuple]:
         b, c, f, h, w = hidden_states.shape
@@ -355,6 +371,12 @@ class WanTransformer3DModel(Module, ModelMixin, ConfigMixin):
                 return h
 
             x, fbc_state = fbc_single_gate(fbc_state, fbc_config, x - first_in, x, tail)
+        elif pab_cache is not None:
+            new_pab_cache = {}
+            for i, block in enumerate(self.blocks):
+                x, new_pab_cache[i] = block(params["blocks"][i], x, encoder_hidden_states,
+                                            timestep_proj, rotary_emb,
+                                            pab=(pab_compute, pab_cache[i]))
         else:
             for i, block in enumerate(self.blocks):
                 x = block(params["blocks"][i], x, encoder_hidden_states, timestep_proj, rotary_emb)
@@ -375,6 +397,16 @@ class WanTransformer3DModel(Module, ModelMixin, ConfigMixin):
             if not return_dict:
                 return (output, fbc_state)
             return Transformer3DModelOutput(sample=output), fbc_state
+        if pab_cache is not None:
+            if not return_dict:
+                return (output, new_pab_cache)
+            return Transformer3DModelOutput(sample=output), new_pab_cache
         if not return_dict:
             return (output,)
         return Transformer3DModelOutput(sample=output)
+
+    def init_pab_cache(self, batch_size: int, tokens: int, dtype=jnp.float32):
+        """Zero per-block self-attention caches for PAB (step 0 always
+        computes, so zeros are never consumed)."""
+        return {i: jnp.zeros((batch_size, tokens, self.inner_dim), dtype)
+                for i in range(len(self.blocks))}

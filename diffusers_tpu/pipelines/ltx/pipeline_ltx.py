@@ -103,12 +103,12 @@ class LTXPipeline(DiffusionPipeline):
     # ------------------------------------------------------------- denoise
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
-        "FasterCacheConfig",
+        "FasterCacheConfig", "PyramidAttentionBroadcastConfig",
     )
 
     def _denoise(self, t_params, latents, prompt_embeds, prompt_mask, rope_cos, rope_sin,
                  timesteps, state, guidance_scale, guidance_rescale, do_cfg,
-                 fc_sched=None, latent_grid=None):
+                 fc_sched=None, latent_grid=None, pab_mask=None):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         cache_cfg = getattr(self, "_cache_config", None)
@@ -146,6 +146,35 @@ class LTXPipeline(DiffusionPipeline):
                 reshape_out=lambda x: jnp.transpose(
                     x.reshape(x.shape[0], f, c, h, w), (0, 1, 3, 4, 2)).reshape(x.shape[0], f * h * w, c),
             )
+
+        if type(cache_cfg).__name__ == "PyramidAttentionBroadcastConfig" and pab_mask is not None:
+            # PAB with LTX's batched-CFG forward: one cache over the 2B batch
+            # (hooks/pyramid_attention_broadcast.py)
+            b = latents.shape[0] * (2 if do_cfg else 1)
+            pab0 = transformer.init_pab_cache(b, latents.shape[1], latents.dtype)
+
+            def pab_step(carry, xs):
+                latents, sstate, cache = carry
+                t, compute = xs
+                latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                timestep = jnp.broadcast_to(t, (latent_input.shape[0],))
+                out_m, cache = transformer(
+                    t_params, latent_input, prompt_embeds, timestep,
+                    encoder_attention_mask=prompt_mask,
+                    image_rotary_emb=(rope_cos, rope_sin),
+                    pab_compute=compute, pab_cache=cache,
+                )
+                noise_pred = out_m.sample.astype(jnp.float32)
+                if do_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (text - uncond)
+                    if guidance_rescale > 0:
+                        noise_pred = rescale_noise_cfg(noise_pred, text, guidance_rescale)
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, cache), None
+
+            (latents, _, _), _ = jax.lax.scan(pab_step, (latents, state, pab0), (timesteps, pab_mask))
+            return latents
 
         if isinstance(cache_cfg, FirstBlockCacheConfig):
             b = latents.shape[0] * (2 if do_cfg else 1)
@@ -282,14 +311,23 @@ class LTXPipeline(DiffusionPipeline):
             state = self.scheduler.set_timesteps(num_inference_steps)
 
         fc_sched = None
-        if type(getattr(self, "_cache_config", None)).__name__ == "FasterCacheConfig" and do_cfg:
+        pab_mask = None
+        cache_cfg = getattr(self, "_cache_config", None)
+        if type(cache_cfg).__name__ == "FasterCacheConfig" and do_cfg:
             from ...hooks.faster_cache import faster_cache_schedules
 
-            fc_sched = faster_cache_schedules(np.asarray(state.timesteps), self._cache_config)
+            fc_sched = faster_cache_schedules(np.asarray(state.timesteps), cache_cfg)
+        elif type(cache_cfg).__name__ == "PyramidAttentionBroadcastConfig":
+            from ...hooks.pyramid_attention_broadcast import pab_compute_mask
+
+            pab_mask = jnp.asarray(pab_compute_mask(
+                np.asarray(state.timesteps), cache_cfg.spatial_attention_block_skip_range,
+                cache_cfg.spatial_attention_timestep_skip_range))
         latent_grid = (latent_num_frames // pt, latent_height // p, latent_width // p)
         denoise = self._denoise_entry("denoise",
             lambda *a: self._denoise(*a, guidance_scale, guidance_rescale, do_cfg,
-                                     fc_sched=fc_sched, latent_grid=latent_grid),
+                                     fc_sched=fc_sched, latent_grid=latent_grid,
+                                     pab_mask=pab_mask),
             callback_on_step_end,
             static=(guidance_scale, guidance_rescale, do_cfg))
         latents = denoise(t_params, latents, embeds, mask, rope_cos, rope_sin, state.timesteps, state)

@@ -100,17 +100,43 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
 
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
-        "FasterCacheConfig",
+        "FasterCacheConfig", "PyramidAttentionBroadcastConfig",
     )
 
     def _denoise(self, t_params, latents, prompt_embeds, pooled, timesteps, state, guidance_scale,
-                 do_cfg, fc_sched=None):
+                 do_cfg, fc_sched=None, pab_mask=None):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         cache_cfg = getattr(self, "_cache_config", None)
         from ...hooks.faster_cache import FasterCacheConfig, denoise_scan_faster_cache
         from ...hooks.first_block_cache import FirstBlockCacheConfig, init_fbc_single_state
         from ...hooks.generic_cache import denoise_scan
+        from ...hooks.pyramid_attention_broadcast import PyramidAttentionBroadcastConfig
+
+        if isinstance(cache_cfg, PyramidAttentionBroadcastConfig) and pab_mask is not None:
+            b = latents.shape[0] * (2 if do_cfg else 1)
+            p = transformer.config.patch_size
+            tokens = (latents.shape[2] // p) * (latents.shape[3] // p)
+            pab0 = transformer.init_pab_cache(b, tokens, prompt_embeds.shape[1], latents.dtype)
+
+            def pab_step(carry, xs):
+                latents, sstate, cache = carry
+                t, compute = xs
+                latent_input = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                timestep = jnp.broadcast_to(t, (latent_input.shape[0],))
+                out_m, cache = transformer(
+                    t_params, latent_input, prompt_embeds, pooled, timestep,
+                    pab_compute=compute, pab_cache=cache,
+                )
+                noise_pred = out_m.sample
+                if do_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (text - uncond)
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, cache), None
+
+            (latents, _, _), _ = jax.lax.scan(pab_step, (latents, state, pab0), (timesteps, pab_mask))
+            return latents
 
         if isinstance(cache_cfg, FasterCacheConfig) and do_cfg and fc_sched is not None:
             b = latents.shape[0]
@@ -220,12 +246,21 @@ class StableDiffusion3Pipeline(DiffusionPipeline):
         state = self.scheduler.set_timesteps(num_inference_steps)
 
         fc_sched = None
-        if type(getattr(self, "_cache_config", None)).__name__ == "FasterCacheConfig" and do_cfg:
+        pab_mask = None
+        cache_cfg = getattr(self, "_cache_config", None)
+        if type(cache_cfg).__name__ == "FasterCacheConfig" and do_cfg:
             from ...hooks.faster_cache import faster_cache_schedules
 
-            fc_sched = faster_cache_schedules(np.asarray(state.timesteps), self._cache_config)
+            fc_sched = faster_cache_schedules(np.asarray(state.timesteps), cache_cfg)
+        elif type(cache_cfg).__name__ == "PyramidAttentionBroadcastConfig":
+            from ...hooks.pyramid_attention_broadcast import pab_compute_mask
+
+            pab_mask = jnp.asarray(pab_compute_mask(
+                np.asarray(state.timesteps), cache_cfg.spatial_attention_block_skip_range,
+                cache_cfg.spatial_attention_timestep_skip_range))
         denoise = self._denoise_entry("denoise", partial(self._denoise, guidance_scale=guidance_scale,
-                                                         do_cfg=do_cfg, fc_sched=fc_sched),
+                                                         do_cfg=do_cfg, fc_sched=fc_sched,
+                                                         pab_mask=pab_mask),
                             callback_on_step_end, static=(guidance_scale, do_cfg))
         latents = denoise(t_params, latents, prompt_embeds, pooled, state.timesteps, state)
 

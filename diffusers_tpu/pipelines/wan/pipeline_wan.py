@@ -68,11 +68,11 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
 
     _supported_cache_configs = (
         "TaylorSeerCacheConfig", "MagCacheConfig", "TextKVCacheConfig", "FirstBlockCacheConfig",
-        "FasterCacheConfig",
+        "FasterCacheConfig", "PyramidAttentionBroadcastConfig",
     )
 
     def _denoise(self, t_params, latents, prompt_embeds, negative_embeds, rope_cos, rope_sin,
-                 timesteps, state, guidance_scale, do_cfg, fc_sched=None):
+                 timesteps, state, guidance_scale, do_cfg, fc_sched=None, pab_mask=None):
         transformer = self.transformer[0]
         scheduler = self.scheduler
         cache_cfg = getattr(self, "_cache_config", None)
@@ -84,6 +84,33 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
             return self._denoise_fbc(t_params, latents, prompt_embeds, negative_embeds,
                                      rope_cos, rope_sin, timesteps, state, guidance_scale,
                                      do_cfg, cache_cfg)
+        if type(cache_cfg).__name__ == "PyramidAttentionBroadcastConfig" and pab_mask is not None:
+            # PAB: cond/uncond forwards carry SEPARATE per-block attention
+            # caches (hooks/pyramid_attention_broadcast.py)
+            b, c, f, h, w = latents.shape
+            p_t, p_h, p_w = transformer.config.patch_size
+            tokens = (f // p_t) * (h // p_h) * (w // p_w)
+            pab0 = transformer.init_pab_cache(b, tokens, latents.dtype)
+
+            def pab_step(carry, xs):
+                latents, sstate, cache_c, cache_u = carry
+                t, compute = xs
+                timestep = jnp.broadcast_to(t, (latents.shape[0],))
+                out_c, cache_c = transformer(
+                    t_params, latents, timestep, prompt_embeds, rotary_emb=(rope_cos, rope_sin),
+                    pab_compute=compute, pab_cache=cache_c)
+                noise_pred = out_c.sample
+                if do_cfg:
+                    out_u, cache_u = transformer(
+                        t_params, latents, timestep, negative_embeds, rotary_emb=(rope_cos, rope_sin),
+                        pab_compute=compute, pab_cache=cache_u)
+                    noise_pred = out_u.sample + guidance_scale * (noise_pred - out_u.sample)
+                out = scheduler.step(sstate, noise_pred, t, latents)
+                return (out.prev_sample, out.state, cache_c, cache_u), None
+
+            (latents, _, _, _), _ = jax.lax.scan(
+                pab_step, (latents, state, pab0, pab0), (timesteps, pab_mask))
+            return latents
 
         def fwd_one(latents, t, embeds):
             timestep = jnp.broadcast_to(t, (latents.shape[0],))
@@ -184,6 +211,7 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
         rope_cos, rope_sin = transformer.rope(num_latent_frames, lh, lw)
 
         fc_sched = None
+        pab_mask = None
         cache_cfg = getattr(self, "_cache_config", None)
         if type(cache_cfg).__name__ == "FasterCacheConfig" and do_cfg:
             from ...hooks.faster_cache import faster_cache_schedules
@@ -195,8 +223,19 @@ class WanPipeline(DiffusionPipeline, FreeInitMixin):
             except TypeError:
                 st = self.scheduler.set_timesteps(num_inference_steps)
             fc_sched = faster_cache_schedules(np.asarray(st.timesteps), cache_cfg)
+        elif type(cache_cfg).__name__ == "PyramidAttentionBroadcastConfig":
+            from ...hooks.pyramid_attention_broadcast import pab_compute_mask
+
+            try:
+                st = self.scheduler.set_timesteps(num_inference_steps, sample_shape=shape)
+            except TypeError:
+                st = self.scheduler.set_timesteps(num_inference_steps)
+            pab_mask = jnp.asarray(pab_compute_mask(
+                np.asarray(st.timesteps), cache_cfg.spatial_attention_block_skip_range,
+                cache_cfg.spatial_attention_timestep_skip_range))
         denoise = self._jit("denoise", partial(self._denoise, guidance_scale=guidance_scale,
-                                               do_cfg=do_cfg, fc_sched=fc_sched),
+                                               do_cfg=do_cfg, fc_sched=fc_sched,
+                                               pab_mask=pab_mask),
                             static=(guidance_scale, do_cfg))
 
         # FreeInit (arXiv:2312.07537): iterative noise reinitialization —
