@@ -328,6 +328,43 @@ class VaeImageProcessor(ConfigMixin):
             samples = samples[:, :, start_y : start_y + new_height, start_x : start_x + new_width]
         return samples
 
+class VaeImageProcessorLDM3D(VaeImageProcessor):
+    """RGB+depth postprocessing for LDM3D's 6-channel VAE output (reference
+    image_processor.py VaeImageProcessorLDM3D): channels [0:3] are RGB,
+    [3:6] an RGB-like packed 16-bit depth map (G*256 + B)."""
+
+    @staticmethod
+    def rgblike_to_depthmap(image: np.ndarray) -> np.ndarray:
+        """[H, W, 3] uint8 RGB-like depth → [H, W] uint16 depth map."""
+        img = image.astype(np.int64)
+        return (img[:, :, 1] * 256 + img[:, :, 2]).astype(np.uint16)
+
+    def numpy_to_depth(self, images: np.ndarray):
+        from PIL import Image
+
+        if images.ndim == 3:
+            images = images[None, ...]
+        depth = images[:, :, :, 3:]
+        if images.shape[-1] == 6:
+            depth = (depth * 255).round().astype("uint8")
+            return [Image.fromarray(self.rgblike_to_depthmap(d), mode="I;16") for d in depth]
+        if images.shape[-1] == 4:
+            depth = (depth[..., 0] * 65535.0).astype(np.uint16)
+            return [Image.fromarray(d, mode="I;16") for d in depth]
+        raise ValueError(f"unsupported depth channel count {images.shape[-1]}")
+
+    def postprocess(self, image, output_type: str = "pil"):
+        """NCHW [-1,1] 6-channel → (rgb, depth)."""
+        image = np.asarray(image)
+        image = np.clip(image / 2 + 0.5, 0, 1).transpose(0, 2, 3, 1)
+        rgb, depth = image[..., :3], image[..., 3:]
+        if output_type in ("np", "latent"):
+            return rgb, depth
+        if output_type == "pil":
+            return numpy_to_pil(rgb), self.numpy_to_depth(image)
+        raise ValueError(f"unsupported output_type {output_type}")
+
+
 class InpaintProcessor(ConfigMixin):
     """Paired image+mask preprocessing and overlay-merging postprocess for
     inpaint pipelines (reference `image_processor.py:836` InpaintProcessor)."""

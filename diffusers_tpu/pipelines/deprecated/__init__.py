@@ -9,3 +9,10 @@ from .text_to_video_synthesis import TextToVideoSDPipeline, TextToVideoSDPipelin
 from .i2vgen_xl import I2VGenXLPipeline, I2VGenXLPipelineOutput
 from .amused import AmusedPipeline, AmusedPipelineOutput
 from .vq_diffusion import LearnedClassifierFreeSamplingEmbeddings, VQDiffusionPipeline
+from .stable_diffusion_panorama import StableDiffusionPanoramaPipeline
+from .stable_diffusion_safe import SafetyConfig, StableDiffusionPipelineSafe
+from .stable_diffusion_ldm3d import LDM3DPipelineOutput, StableDiffusionLDM3DPipeline
+from .stable_diffusion_variants import (
+    StableDiffusionInpaintPipelineLegacy,
+    StableDiffusionParadigmsPipeline,
+)
