@@ -16,3 +16,6 @@ from .stable_diffusion_variants import (
     StableDiffusionInpaintPipelineLegacy,
     StableDiffusionParadigmsPipeline,
 )
+from .semantic_stable_diffusion import SemanticStableDiffusionPipeline
+from .audio_diffusion import AudioDiffusionPipeline, Mel
+from .stable_diffusion_variants import CycleDiffusionPipeline, StableDiffusionModelEditingPipeline
