@@ -137,9 +137,13 @@ class _XLMRobertaEncoder(Module):
             for _ in range(cfg["num_hidden_layers"])
         ])
 
-    def __call__(self, params, x, attention_mask):
+    def __call__(self, params, x, attention_mask, output_hidden_states: bool = False):
+        hidden_states = [x]
         for i, layer in enumerate(self.layer):
             x = layer(params["layer"][i], x, attention_mask)
+            hidden_states.append(x)
+        if output_hidden_states:
+            return x, hidden_states
         return x
 
 
@@ -153,9 +157,10 @@ class _XLMRobertaModel(Module):
             cfg["type_vocab_size"], cfg["pad_token_id"], cfg["layer_norm_eps"])
         self.encoder = _XLMRobertaEncoder(cfg)
 
-    def __call__(self, params, input_ids, attention_mask):
+    def __call__(self, params, input_ids, attention_mask, output_hidden_states: bool = False):
         x = self.embeddings(params["embeddings"], input_ids)
-        return self.encoder(params["encoder"], x, attention_mask)
+        return self.encoder(params["encoder"], x, attention_mask,
+                            output_hidden_states=output_hidden_states)
 
 
 class MultilingualCLIP(Module, ModelMixin, ConfigMixin):

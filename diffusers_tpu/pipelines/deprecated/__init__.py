@@ -19,3 +19,9 @@ from .stable_diffusion_variants import (
 from .semantic_stable_diffusion import SemanticStableDiffusionPipeline
 from .audio_diffusion import AudioDiffusionPipeline, Mel
 from .stable_diffusion_variants import CycleDiffusionPipeline, StableDiffusionModelEditingPipeline
+from .alt_diffusion import (
+    AltDiffusionImg2ImgPipeline,
+    AltDiffusionPipeline,
+    RobertaSeriesModelWithTransformation,
+)
+from .paint_by_example import PaintByExampleImageEncoder, PaintByExamplePipeline
