@@ -351,7 +351,8 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                 raise ValueError("class_labels must be provided for class conditioning")
             if self.config.class_embed_type == "timestep":
                 class_labels = self.time_proj({}, class_labels).astype(sample.dtype)
-            class_emb = self.class_embedding(params["class_embedding"], class_labels).astype(sample.dtype)
+            # Identity class embedding ("identity" type) owns no params
+            class_emb = self.class_embedding(params.get("class_embedding", {}), class_labels).astype(sample.dtype)
             if self.config.class_embeddings_concat:
                 emb = jnp.concatenate([emb, class_emb], axis=-1)
             else:
@@ -409,6 +410,13 @@ class UNet2DConditionModel(Module, ModelMixin, ConfigMixin):
                 )
             else:
                 encoder_hidden_states = self.encoder_hid_proj(params["encoder_hid_proj"], encoder_hidden_states)
+
+        # boolean/int [B, K] text mask → additive bias broadcastable over
+        # [B, H, Q, K] (reference unet_2d_condition.py encoder_attention_mask
+        # preprocessing: (1 − mask)·−10000, unsqueeze)
+        if encoder_attention_mask is not None and encoder_attention_mask.ndim == 2:
+            encoder_attention_mask = (
+                (1 - encoder_attention_mask.astype(sample.dtype)) * -10000.0)[:, None, None, :]
 
         # 2. pre-process (NCHW -> NHWC)
         sample = jnp.transpose(sample, (0, 2, 3, 1))

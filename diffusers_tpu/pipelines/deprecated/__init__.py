@@ -25,3 +25,4 @@ from .alt_diffusion import (
     RobertaSeriesModelWithTransformation,
 )
 from .paint_by_example import PaintByExampleImageEncoder, PaintByExamplePipeline
+from .unclip import UnCLIPPipeline, UnCLIPTextProjModel
