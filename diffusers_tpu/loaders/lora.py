@@ -10,10 +10,19 @@ our [in, out] Linear layout). Fusing is a one-time pytree map, so the hot
 path is untouched (the reference's runtime-hooked LoRA costs a second matmul
 per layer). `unfuse` is the caller keeping the original params pytree.
 
-Supported checkpoint formats:
+Supported checkpoint formats (auto-detected in `group_lora_weights`):
   * diffusers/PEFT: ``<path>.lora_A.weight`` / ``<path>.lora_B.weight``
     (optionally prefixed ``transformer.``/``unet.``/``text_encoder.``)
   * kohya-ss: ``lora_unet_<path with _>.lora_up/lora_down.weight`` + ``alpha``
+  * xlabs Flux (``.processor.`` down/up pairs)
+  * Wan trainers (``diffusion_model.blocks.N.self_attn...``)
+  * musubi-tuner Wan (``lora_unet_blocks_N_<module>``)
+  * QwenImage kohya-flattened (``lora_unet_transformer_blocks_N_...``)
+  * HunyuanVideo original layout (fused ``img_attn_qkv``/``linear1`` splits)
+  * generic ``diffusion_model.``-prefix (LTX-Video, HiDream, ComfyUI trainers)
+
+Runtime surface: `PipelineLoraMixin` — named adapters, per-adapter scales,
+`hotswap_lora_weights` (same-shape weight swap that keeps jitted graphs).
 """
 
 from __future__ import annotations
@@ -303,6 +312,182 @@ def convert_qwen_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray
     return out
 
 
+_HUNYUAN_RENAMES = [
+    # (theirs, diffusers) — longest-first substitution table mirroring the
+    # reference TRANSFORMER_KEYS_RENAME_DICT
+    # (`lora_conversion_utils.py:1704-1739`), restricted to linear modules a
+    # LoRA can target.
+    ("final_layer.adaLN_modulation.1", "norm_out.linear"),
+    ("time_in.mlp.0", "time_text_embed.timestep_embedder.linear_1"),
+    ("time_in.mlp.2", "time_text_embed.timestep_embedder.linear_2"),
+    ("guidance_in.mlp.0", "time_text_embed.guidance_embedder.linear_1"),
+    ("guidance_in.mlp.2", "time_text_embed.guidance_embedder.linear_2"),
+    ("vector_in.in_layer", "time_text_embed.text_embedder.linear_1"),
+    ("vector_in.out_layer", "time_text_embed.text_embedder.linear_2"),
+    ("img_attn_proj", "attn.to_out.0"),
+    ("txt_attn_proj", "attn.to_add_out"),
+    ("img_mod.linear", "norm1.linear"),
+    ("txt_mod.linear", "norm1_context.linear"),
+    ("modulation.linear", "norm.linear"),
+    ("final_layer.linear", "proj_out"),
+    ("img_mlp", "ff"),
+    ("txt_mlp", "ff_context"),
+    ("img_in", "x_embedder"),
+    ("fc1", "net.0.proj"),
+    ("fc2", "net.2"),
+]
+
+
+def convert_hunyuan_video_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HunyuanVideo original-layout LoRA (``double_blocks.N.img_attn_qkv``,
+    ``single_blocks.N.linear1``, …) → diffusers naming.
+
+    Re-expression of the reference
+    `_convert_hunyuan_video_lora_to_diffusers` (`lora_conversion_utils.py:1599`)
+    as a table-substitution pass + two fused-projection splitters:
+
+    * fused ``img_attn_qkv``/``txt_attn_qkv``: ``lora_A`` is shared
+      (duplicated) across q/k/v, ``lora_B`` is row-split in thirds;
+    * single-block ``linear1`` (qkv‖mlp fused): ``lora_A`` duplicated across
+      to_q/to_k/to_v/proj_mlp, ``lora_B`` row-split at 3×hidden.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for p in ("transformer.", "diffusion_model."):
+            if k.startswith(p):
+                k = k[len(p):]
+        sd[k] = v
+
+    out: Dict[str, np.ndarray] = {}
+
+    def rename(key: str) -> str:
+        key = key.replace("double_blocks", "transformer_blocks")
+        key = key.replace("single_blocks", "single_transformer_blocks")
+        if key.startswith("txt_in."):
+            # token-refiner tree (reference remap_txt_in_, `:1608-1627`)
+            key = key.replace("individual_token_refiner.blocks", "token_refiner.refiner_blocks")
+            key = key.replace("adaLN_modulation.1", "norm_out.linear")
+            key = key.replace("txt_in", "context_embedder", 1)
+            key = key.replace("t_embedder.mlp.0", "time_text_embed.timestep_embedder.linear_1")
+            key = key.replace("t_embedder.mlp.2", "time_text_embed.timestep_embedder.linear_2")
+            key = key.replace("c_embedder", "time_text_embed.text_embedder")
+            key = key.replace("mlp", "ff")
+            return key
+        for theirs, ours in _HUNYUAN_RENAMES:
+            key = key.replace(theirs, ours)
+        key = key.replace("linear2", "proj_out")
+        return key
+
+    hidden = None
+    for key, value in sd.items():
+        value = np.asarray(value)
+        is_A = ".lora_A." in key or ".lora_down." in key
+        key = key.replace(".lora_down.weight", ".lora_A.weight").replace(
+            ".lora_up.weight", ".lora_B.weight")
+        fused = None
+        if "img_attn_qkv" in key or "txt_attn_qkv" in key or "self_attn_qkv" in key:
+            which = "img_attn_qkv" if "img_attn_qkv" in key else (
+                "txt_attn_qkv" if "txt_attn_qkv" in key else "self_attn_qkv")
+            heads = (("attn.to_q", "attn.to_k", "attn.to_v") if which != "txt_attn_qkv"
+                     else ("attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj"))
+            if is_A or key.endswith(".alpha"):
+                for h in heads:
+                    out[rename(key.replace(which, h))] = value
+            else:
+                for h, part in zip(heads, np.split(value, 3, axis=0)):
+                    out[rename(key.replace(which, h))] = part
+            fused = True
+        elif "single_blocks" in key and ".linear1." in key:
+            targets = ("attn.to_q", "attn.to_k", "attn.to_v", "proj_mlp")
+            if is_A or key.endswith(".alpha"):
+                for t in targets:
+                    out[rename(key.replace("linear1", t))] = value
+            else:
+                if hidden is None:
+                    hidden = value.shape[0] * 3 // 13 if value.shape[0] % 13 == 0 else 3072
+                splits = np.split(value, [hidden, 2 * hidden, 3 * hidden], axis=0)
+                for t, part in zip(targets, splits):
+                    out[rename(key.replace("linear1", t))] = part
+            fused = True
+        if not fused:
+            out[rename(key)] = value
+    return {f"transformer.{k}": v for k, v in out.items()}
+
+
+_MUSUBI_WAN_SUBS = [
+    # flattened musubi-tuner names → diffusers Wan module paths (reference
+    # `_convert_musubi_wan_lora_to_diffusers`, `lora_conversion_utils.py:2098`)
+    ("self_attn_q", "attn1.to_q"), ("self_attn_k", "attn1.to_k"),
+    ("self_attn_v", "attn1.to_v"), ("self_attn_o", "attn1.to_out.0"),
+    ("cross_attn_k_img", "attn2.add_k_proj"), ("cross_attn_v_img", "attn2.add_v_proj"),
+    ("cross_attn_q", "attn2.to_q"), ("cross_attn_k", "attn2.to_k"),
+    ("cross_attn_v", "attn2.to_v"), ("cross_attn_o", "attn2.to_out.0"),
+    ("ffn_0", "ffn.net.0.proj"), ("ffn_2", "ffn.net.2"),
+]
+
+
+def convert_musubi_wan_lora(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """musubi-tuner Wan LoRA (``lora_unet_blocks_N_<module>``) → diffusers
+    naming, with alpha folded into the A/B pair using the reference's
+    balanced power-of-two split (`lora_conversion_utils.py:2098-2155`)."""
+    sd = {k[len("lora_unet_"):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith("lora_unet_blocks_")}
+
+    def map_base(base: str) -> Optional[str]:
+        # base: "blocks_3_cross_attn_k_img"
+        m = re.match(r"blocks_(\d+)_(.+)$", base)
+        if m is None:
+            return None
+        idx, rest = m.group(1), m.group(2)
+        for theirs, ours in sorted(_MUSUBI_WAN_SUBS, key=lambda s: -len(s[0])):
+            if rest == theirs:
+                return f"blocks.{idx}.{ours}"
+        return None
+
+    out: Dict[str, np.ndarray] = {}
+    alphas: Dict[str, float] = {}
+    for key, value in sd.items():
+        if key.endswith(".alpha"):
+            path = map_base(key[: -len(".alpha")])
+            if path is not None:
+                alphas[path] = float(value)
+            continue
+        for suffix, ours in ((".lora_down.weight", ".lora_A.weight"),
+                             (".lora_up.weight", ".lora_B.weight")):
+            if key.endswith(suffix):
+                path = map_base(key[: -len(suffix)])
+                if path is None:
+                    logger.warning(f"unhandled musubi Wan LoRA key {key}; skipping")
+                else:
+                    out[path + ours] = value
+                break
+
+    for path, alpha in alphas.items():
+        a_key, b_key = path + ".lora_A.weight", path + ".lora_B.weight"
+        if a_key not in out or b_key not in out:
+            continue
+        scale = alpha / out[a_key].shape[0]
+        scale_down, scale_up = scale, 1.0
+        while scale_down * 2 < scale_up:
+            scale_down *= 2
+            scale_up /= 2
+        out[a_key] = out[a_key] * scale_down
+        out[b_key] = out[b_key] * scale_up
+    return {f"transformer.{k}": v for k, v in out.items()}
+
+
+def _is_hunyuan_video_lora(state_dict) -> bool:
+    return any(
+        "img_attn_qkv" in k or "txt_attn_qkv" in k
+        or (".linear1." in k and "single_blocks" in k)
+        for k in state_dict
+    )
+
+
+def _is_musubi_wan_lora(state_dict) -> bool:
+    return any(k.startswith("lora_unet_blocks_") for k in state_dict)
+
+
 def _is_wan_lora(state_dict) -> bool:
     return any(
         k.startswith("diffusion_model.") and (".self_attn." in k or ".cross_attn." in k)
@@ -325,6 +510,10 @@ def group_lora_weights(
     given component prefix (e.g. 'unet', 'transformer')."""
     if _is_xlabs_lora(state_dict):
         state_dict = convert_xlabs_flux_lora(state_dict)
+    elif _is_hunyuan_video_lora(state_dict):
+        state_dict = convert_hunyuan_video_lora(state_dict)
+    elif _is_musubi_wan_lora(state_dict):
+        state_dict = convert_musubi_wan_lora(state_dict)
     elif _is_wan_lora(state_dict):
         state_dict = convert_wan_lora(state_dict)
     elif _is_qwen_kohya_lora(state_dict):
@@ -545,6 +734,49 @@ class PipelineLoraMixin:
                 self._lora_base[name] = getattr(self, name)[1]
         self._lora_adapters[adapter_name] = adapter
         self.set_adapters([adapter_name], [scale])
+
+    def hotswap_lora_weights(self, source, adapter_name: str = "default"):
+        """Replace an already-loaded adapter's weights in place WITHOUT
+        invalidating compiled graphs (reference hotswap:
+        `loaders/peft.py load_lora_adapter(..., hotswap=True)`).
+
+        TPU-native semantics: adapters here are fused weight deltas, so a
+        hotswap is re-fusing from the pristine base with the new (A, B)
+        pairs. Since the fused params keep identical shapes/dtypes/shardings,
+        every jitted denoise graph stays valid — the jit cache is deliberately
+        NOT cleared (the torch analogue needs PEFT module surgery + a
+        torch.compile recompile guard; here it is one pytree rebuild)."""
+        if adapter_name not in getattr(self, "_lora_adapters", {}):
+            raise ValueError(
+                f"hotswap requires adapter '{adapter_name}' to be loaded first; "
+                f"loaded: {list(getattr(self, '_lora_adapters', {}))}"
+            )
+        sd = _load_state_dict(source)
+        old = self._lora_adapters[adapter_name]
+        adapter = {}
+        for name in old:
+            grouped = group_lora_weights(sd, component=name)
+            if not grouped:
+                grouped = group_lora_weights(sd, component=None)
+            if set(grouped) != set(old[name]):
+                raise ValueError(
+                    f"hotswap module-path mismatch for component '{name}': the new "
+                    f"checkpoint targets {len(grouped)} modules, the loaded adapter "
+                    f"{len(old[name])} — load it as a new adapter instead"
+                )
+            adapter[name] = grouped
+        self._lora_adapters[adapter_name] = adapter
+        active = dict(getattr(self, "_active_adapters", {})) or {adapter_name: 1.0}
+        for comp_name, base_params in self._lora_base.items():
+            selected = [
+                (self._lora_adapters[n][comp_name], w)
+                for n, w in active.items()
+                if comp_name in self._lora_adapters[n]
+            ]
+            module = getattr(self, comp_name)[0]
+            if selected:
+                setattr(self, comp_name, (module, fuse_lora_multi(base_params, selected)))
+        self._active_adapters = active
 
     def set_adapters(self, adapter_names, adapter_weights=None):
         """Activate adapters at per-adapter scales (reference
