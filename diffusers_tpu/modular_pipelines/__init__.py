@@ -11,3 +11,4 @@ from .modular_pipeline import (
     PipelineState,
     SequentialPipelineBlocks,
 )
+from .node_utils import block_to_node_spec, export_node_specs, pack_to_node_specs

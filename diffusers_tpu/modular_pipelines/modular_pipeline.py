@@ -282,6 +282,7 @@ _BLOCK_PACKS = {
     "StableDiffusion": "diffusers_tpu.modular_pipelines.stable_diffusion:SD_BLOCKS",
     "Wan": "diffusers_tpu.modular_pipelines.wan:WAN_BLOCKS",
     "QwenImage": "diffusers_tpu.modular_pipelines.qwenimage:QWENIMAGE_BLOCKS",
+    "LTX": "diffusers_tpu.modular_pipelines.ltx:LTX_BLOCKS",
 }
 
 

@@ -164,3 +164,20 @@ def test_new_packs_resolve_from_class_name():
     assert _resolve_block_pack("StableDiffusion3Pipeline") is SD3_BLOCKS
     assert _resolve_block_pack("WanPipeline") is WAN_BLOCKS
     assert _resolve_block_pack("QwenImagePipeline") is QWENIMAGE_BLOCKS
+
+
+def test_ltx_modular_blocks_match_monolithic_pipeline():
+    from diffusers_tpu.modular_pipelines.ltx import LTX_BLOCKS
+    from tests.test_pipeline_ltx import get_dummy_pipeline
+
+    pipe = get_dummy_pipeline()
+    components = ComponentsBundle(
+        transformer=pipe.transformer, vae=pipe.vae, scheduler=pipe.scheduler,
+        text_encoder=pipe.text_encoder, tokenizer=pipe.tokenizer,
+    )
+    modular = ModularPipeline(LTX_BLOCKS(), components)
+    kwargs = dict(prompt="a modular otter", height=32, width=32, num_frames=9,
+                  num_inference_steps=3, guidance_scale=3.0, key=jax.random.PRNGKey(4))
+    videos = modular(output="videos", **kwargs, output_type="np")
+    ref = np.asarray(pipe(**kwargs, output_type="np").frames)
+    np.testing.assert_allclose(np.asarray(videos), ref, atol=1e-3)
