@@ -27,3 +27,4 @@ from .alt_diffusion import (
 from .paint_by_example import PaintByExampleImageEncoder, PaintByExamplePipeline
 from .unclip import UnCLIPPipeline, UnCLIPTextProjModel
 from .stable_diffusion_diffedit import DiffEditInversionPipelineOutput, StableDiffusionDiffEditPipeline
+from .pia import PIAPipeline, PIAPipelineOutput
